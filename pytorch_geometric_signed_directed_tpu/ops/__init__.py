@@ -1,0 +1,26 @@
+"""Native sparse tier: static-shape COO, segment primitives, tiered SpMM."""
+
+from .coo import COO, build_coo, coo_from_scipy
+from .segment import segment_sum, segment_mean, segment_max, segment_softmax
+from .spmm import (
+    Propagator,
+    complex_spmm,
+    make_propagator,
+    propagator_from_coo,
+    spmm_coo,
+)
+
+__all__ = [
+    "COO",
+    "build_coo",
+    "coo_from_scipy",
+    "segment_sum",
+    "segment_mean",
+    "segment_max",
+    "segment_softmax",
+    "Propagator",
+    "complex_spmm",
+    "make_propagator",
+    "propagator_from_coo",
+    "spmm_coo",
+]

@@ -1,0 +1,120 @@
+"""SpMM: sparse-adjacency × dense-features, the hot op of every GNN layer.
+
+Three execution tiers, chosen statically at preprocessing time:
+
+  * ``segment``  — gather + sorted ``segment_sum``.  General, any size.
+  * ``dense``    — materialise A once and ride the MXU with a plain matmul.
+                   For every headline dataset in the reference
+                   (cora_ml N=2995, telegram N=245, bitcoin_otc N=5881 —
+                   SURVEY.md §6) a dense [N,N]·[N,F] matmul is far below
+                   MXU saturation and is the speed-of-light choice.
+  * ``bsr``      — Pallas block-sparse kernel (ops/pallas/bsr_spmm.py):
+                   128×128 dense sub-blocks, scalar-prefetched block column
+                   ids, MXU matmul per block.  For large graphs that don't
+                   fit dense.
+
+All tiers are differentiable (the Pallas tier via custom VJP whose backward
+is the transposed-operator forward).
+
+Replaces the reference's per-propagate torch_scatter dispatch
+(/root/reference/torch_geometric_signed_directed/nn/directed/MagNetConv.py:196-240,
+ nn/general/conv_base.py:111, nn/signed/SGCNConv.py:101-123).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .coo import COO, build_coo
+from .segment import segment_sum
+
+# Graphs at or below this many nodes use the dense-MXU tier by default.
+_DENSE_AUTO_MAX_NODES = 8192
+
+
+def spmm_coo(A: COO, x: jnp.ndarray) -> jnp.ndarray:
+    """out[row] += val * x[col]  — i.e. ``A @ x`` for 2-D x [M, F]."""
+    msgs = A.val[:, None] * x[A.col]
+    return segment_sum(msgs, A.row, A.num_nodes, indices_are_sorted=True)
+
+
+@struct.dataclass
+class Propagator:
+    """A frozen linear operator ``x -> A @ x`` with a static execution tier.
+
+    Built once per (graph, normalization) at preprocessing time — the
+    TPU-native replacement for the reference layers' ``cached=True``
+    Laplacian caching (MagNetConv.py:144-183).
+    """
+
+    coo: Optional[COO]
+    dense: Optional[jnp.ndarray]
+    bsr: Optional[object]  # ops.pallas.bsr_spmm.BSR
+    mode: str = struct.field(pytree_node=False)
+
+    @property
+    def num_nodes(self) -> int:
+        if self.mode == "dense":
+            return self.dense.shape[0]
+        if self.mode == "bsr":
+            return self.bsr.num_rows
+        return self.coo.num_nodes
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "dense":
+            # Full-f32 MXU passes: adjacency matvecs feed Chebyshev
+            # recurrences and cut losses where bf16 drift compounds, and
+            # allclose parity with the f32 reference is a stated target
+            # (BASELINE.md).  Still rides the MXU (3-pass bf16 on TPU).
+            return jnp.dot(self.dense, x, preferred_element_type=x.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
+        if self.mode == "bsr":
+            from .pallas.bsr_spmm import bsr_spmm
+
+            return bsr_spmm(self.bsr, x)
+        return spmm_coo(self.coo, x)
+
+
+def make_propagator(
+    row,
+    col,
+    val=None,
+    num_nodes: Optional[int] = None,
+    *,
+    mode: str = "auto",
+    pad_to: Optional[int] = None,
+    dtype=np.float32,
+) -> Propagator:
+    """Host-side factory.  ``mode`` in {'auto', 'segment', 'dense', 'bsr'}."""
+    A = build_coo(row, col, val, num_nodes, pad_to=pad_to, dtype=dtype)
+    return propagator_from_coo(A, mode=mode)
+
+
+def propagator_from_coo(A: COO, mode: str = "auto") -> Propagator:
+    if mode == "auto":
+        mode = "dense" if max(A.num_nodes, A.num_cols) <= _DENSE_AUTO_MAX_NODES else "segment"
+    if mode == "dense":
+        return Propagator(coo=None, dense=A.to_dense(), bsr=None, mode="dense")
+    if mode == "bsr":
+        from .pallas.bsr_spmm import bsr_from_coo
+
+        return Propagator(coo=None, dense=None, bsr=bsr_from_coo(A), mode="bsr")
+    return Propagator(coo=A, dense=None, bsr=None, mode="segment")
+
+
+def complex_spmm(
+    P_re: Propagator, P_im: Propagator, x_re: jnp.ndarray, x_im: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(L_re + i·L_im) @ (x_re + i·x_im), as two real pairs.
+
+    Full complex product — note the reference's MagNetConv does NOT use this
+    (see models/magnet.py for the exact reference recurrence); provided for
+    the genuinely-complex spectral utilities.
+    """
+    a, b = P_re(x_re), P_im(x_im)
+    c, d = P_re(x_im), P_im(x_re)
+    return a - b, c + d

@@ -1,0 +1,300 @@
+"""Magnetic and signed magnetic Laplacians (host-side) + jit-safe templates.
+
+Numerics follow the reference exactly:
+  * get_magnetic_Laplacian — reference
+    torch_geometric_signed_directed/utils/directed/get_magnetic_Laplacian.py:10-93
+  * get_magnetic_signed_Laplacian — reference
+    utils/general/get_magnetic_signed_Laplacian.py:10-99
+  * the Chebyshev rescale (2L/lambda_max − I) — reference
+    nn/directed/MagNetConv.py:100-120 (__norm__)
+
+TPU-first redesign: instead of re-dispatching a Python scatter per forward
+(reference MagNetConv caches (edge_index, norm) tuples), we bake the scaled
+Laplacian into a pair of frozen :class:`~...ops.spmm.Propagator` linear
+operators once, so a whole model forward jits into one XLA program.  For a
+*trainable* phase q, :func:`magnetic_template` precomputes the q-independent
+structure (normalized symmetrized weights + phase angles) and
+:func:`template_propagators` rebuilds the two operators *inside* jit with
+pure elementwise math — no host round-trip per step, which the reference
+cannot do at all (it rebuilds the Laplacian on CPU every forward).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.coo import build_coo
+from ..ops.spmm import (
+    _DENSE_AUTO_MAX_NODES,
+    Propagator,
+    propagator_from_coo,
+)
+
+
+def _remove_self_loops(edge_index, edge_weight):
+    edge_index = np.asarray(edge_index)
+    mask = edge_index[0] != edge_index[1]
+    ew = None if edge_weight is None else np.asarray(edge_weight)[mask]
+    return edge_index[:, mask], ew
+
+
+def _symmetrize(edge_index, edge_weight, num_nodes):
+    """Coalesced symmetrization: per unique (i, j) with i != j returns
+    sym = (w_ij + w_ji)/2, theta = w_ij - w_ji, abs_sym = (|w_ij|+|w_ji|)/2.
+
+    Matches the concat-both-directions + coalesce('add') construction of the
+    reference (get_magnetic_Laplacian.py:52-63); output sorted by (row, col).
+    """
+    edge_index, edge_weight = _remove_self_loops(edge_index, edge_weight)
+    if edge_weight is None:
+        edge_weight = np.ones(edge_index.shape[1], dtype=np.float64)
+    else:
+        edge_weight = np.asarray(edge_weight, dtype=np.float64)
+    row0, col0 = edge_index[0], edge_index[1]
+    r = np.concatenate([row0, col0])
+    c = np.concatenate([col0, row0])
+    sym_attr = np.concatenate([edge_weight, edge_weight])
+    theta_attr = np.concatenate([edge_weight, -edge_weight])
+    abs_attr = np.concatenate([np.abs(edge_weight), np.abs(edge_weight)])
+
+    key = r.astype(np.int64) * num_nodes + c.astype(np.int64)
+    uniq, inv = np.unique(key, return_inverse=True)
+    sym = np.zeros(len(uniq))
+    theta = np.zeros(len(uniq))
+    abs_sym = np.zeros(len(uniq))
+    np.add.at(sym, inv, sym_attr)
+    np.add.at(theta, inv, theta_attr)
+    np.add.at(abs_sym, inv, abs_attr)
+    row = (uniq // num_nodes).astype(np.int64)
+    col = (uniq % num_nodes).astype(np.int64)
+    return row, col, sym / 2.0, theta, abs_sym / 2.0
+
+
+def _maybe_num_nodes(edge_index, num_nodes):
+    if num_nodes is not None:
+        return int(num_nodes)
+    edge_index = np.asarray(edge_index)
+    return int(edge_index.max()) + 1 if edge_index.size else 0
+
+
+def _laplacian_core(
+    edge_index,
+    edge_weight,
+    normalization: Optional[str],
+    num_nodes: Optional[int],
+    q: float,
+    return_lambda_max: bool,
+    signed: bool,
+    absolute_degree: bool = True,
+):
+    assert normalization in (None, "sym"), "Invalid normalization"
+    num_nodes = _maybe_num_nodes(edge_index, num_nodes)
+    row, col, sym, theta, abs_sym = _symmetrize(edge_index, edge_weight, num_nodes)
+
+    if not signed:
+        deg_w = sym
+    elif absolute_degree:
+        deg_w = abs_sym
+    else:
+        deg_w = np.abs(sym)
+    deg = np.zeros(num_nodes)
+    np.add.at(deg, row, deg_w)
+
+    phase = np.exp(1j * 2 * np.pi * q * theta)
+
+    if normalization is None:
+        # L = D - A_sym . exp(i Theta); edges first, then self-loop deg
+        # entries — same ordering as the reference's add_self_loops append.
+        out_row = np.concatenate([row, np.arange(num_nodes)])
+        out_col = np.concatenate([col, np.arange(num_nodes)])
+        w = np.concatenate([-sym * phase, deg.astype(np.complex128)])
+    else:
+        deg_inv_sqrt = np.zeros_like(deg)
+        nz = deg > 0
+        deg_inv_sqrt[nz] = deg[nz] ** -0.5
+        norm_w = deg_inv_sqrt[row] * sym * deg_inv_sqrt[col] * phase
+        out_row = np.concatenate([row, np.arange(num_nodes)])
+        out_col = np.concatenate([col, np.arange(num_nodes)])
+        w = np.concatenate([-norm_w, np.ones(num_nodes, dtype=np.complex128)])
+
+    edge_index_out = np.stack([out_row, out_col])
+    if not return_lambda_max:
+        return edge_index_out, w.real, w.imag
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import eigsh
+
+    L = sp.coo_matrix((w, (out_row, out_col)), shape=(num_nodes, num_nodes))
+    lambda_max = eigsh(L.tocsr(), k=1, which="LM", return_eigenvectors=False)
+    lambda_max = float(np.asarray(lambda_max).real.item())
+    return edge_index_out, w.real, w.imag, lambda_max
+
+
+def magnetic_laplacian(
+    edge_index,
+    edge_weight=None,
+    normalization: Optional[str] = "sym",
+    num_nodes: Optional[int] = None,
+    q: float = 0.25,
+    return_lambda_max: bool = False,
+):
+    """Magnetic Laplacian of a directed graph (MagNet, NeurIPS'21).
+
+    Returns ``(edge_index [2, E'], w_real, w_imag[, lambda_max])`` as numpy.
+    Reference: utils/directed/get_magnetic_Laplacian.py:10-93.
+    """
+    return _laplacian_core(edge_index, edge_weight, normalization, num_nodes,
+                           q, return_lambda_max, signed=False)
+
+
+def magnetic_signed_laplacian(
+    edge_index,
+    edge_weight=None,
+    normalization: Optional[str] = "sym",
+    num_nodes: Optional[int] = None,
+    q: float = 0.25,
+    return_lambda_max: bool = False,
+    absolute_degree: bool = True,
+):
+    """Signed magnetic Laplacian (MSGNN, LoG'22).
+
+    Reference: utils/general/get_magnetic_signed_Laplacian.py:10-99.
+    """
+    return _laplacian_core(edge_index, edge_weight, normalization, num_nodes,
+                           q, return_lambda_max, signed=True,
+                           absolute_degree=absolute_degree)
+
+
+def magnet_propagators(
+    edge_index,
+    edge_weight=None,
+    q: float = 0.25,
+    normalization: Optional[str] = "sym",
+    num_nodes: Optional[int] = None,
+    lambda_max: Optional[float] = None,
+    mode: str = "auto",
+    signed: bool = False,
+    absolute_degree: bool = True,
+) -> Tuple[Propagator, Propagator]:
+    """Build the scaled Chebyshev operator pair (L_hat_re, L_hat_im).
+
+    L_hat = 2 L / lambda_max − I, exactly the (edge_index, norm) pair the
+    reference's MagNetConv.__norm__ caches (nn/directed/MagNetConv.py:100-120)
+    — but frozen into MXU-ready Propagators once, ahead of jit.
+    """
+    num_nodes = _maybe_num_nodes(edge_index, num_nodes)
+    fn = magnetic_signed_laplacian if signed else magnetic_laplacian
+    kwargs = dict(normalization=normalization, num_nodes=num_nodes, q=q)
+    if signed:
+        kwargs["absolute_degree"] = absolute_degree
+    if normalization != "sym" and lambda_max is None:
+        ei, w_re, w_im, lambda_max = fn(
+            edge_index, edge_weight, return_lambda_max=True, **kwargs)
+    else:
+        ei, w_re, w_im = fn(edge_index, edge_weight, **kwargs)
+    if lambda_max is None:
+        lambda_max = 2.0
+
+    w_re = 2.0 * w_re / lambda_max
+    w_im = 2.0 * w_im / lambda_max
+    # Extra self-loops of -1 on the real part: L_hat = 2L/lambda - I
+    # (reference MagNetConv.py:110-111).
+    loops = np.arange(num_nodes)
+    row_re = np.concatenate([ei[0], loops])
+    col_re = np.concatenate([ei[1], loops])
+    w_re = np.concatenate([w_re, -np.ones(num_nodes)])
+
+    A_re = build_coo(row_re, col_re, w_re, num_nodes, sum_duplicates=True)
+    A_im = build_coo(ei[0], ei[1], w_im, num_nodes, sum_duplicates=True)
+    return propagator_from_coo(A_re, mode=mode), propagator_from_coo(A_im, mode=mode)
+
+
+@struct.dataclass
+class MagneticTemplate:
+    """q-independent structure of the sym-normalized magnetic Laplacian.
+
+    For trainable q (sym normalization, lambda_max = 2): the scaled operator
+    is purely off-diagonal, L_hat_re = −A_norm . cos(2 pi q Theta),
+    L_hat_im = −A_norm . sin(2 pi q Theta), so rebuilding it inside jit is
+    elementwise math on the frozen structure.
+
+    ``dense`` mode stores A_norm and Theta as [N, N] matrices (MXU tier);
+    ``segment`` mode stores padded sorted COO edge structure.
+    """
+
+    a_norm: jnp.ndarray  # dense [N,N] or per-edge [E_pad]
+    theta: jnp.ndarray   # matching shape
+    row: Optional[jnp.ndarray]  # segment mode only
+    col: Optional[jnp.ndarray]
+    num_nodes: int = struct.field(pytree_node=False)
+    mode: str = struct.field(pytree_node=False)
+
+
+def magnetic_template(
+    edge_index,
+    edge_weight=None,
+    num_nodes: Optional[int] = None,
+    signed: bool = False,
+    absolute_degree: bool = True,
+    mode: str = "auto",
+) -> MagneticTemplate:
+    """Host-side constructor for the trainable-q operator template."""
+    num_nodes = _maybe_num_nodes(edge_index, num_nodes)
+    row, col, sym, theta, abs_sym = _symmetrize(edge_index, edge_weight, num_nodes)
+    if not signed:
+        deg_w = sym
+    elif absolute_degree:
+        deg_w = abs_sym
+    else:
+        deg_w = np.abs(sym)
+    deg = np.zeros(num_nodes)
+    np.add.at(deg, row, deg_w)
+    deg_inv_sqrt = np.zeros_like(deg)
+    nz = deg > 0
+    deg_inv_sqrt[nz] = deg[nz] ** -0.5
+    a_norm = deg_inv_sqrt[row] * sym * deg_inv_sqrt[col]
+
+    if mode == "auto":
+        mode = "dense" if num_nodes <= _DENSE_AUTO_MAX_NODES else "segment"
+    if mode == "dense":
+        A = np.zeros((num_nodes, num_nodes), np.float32)
+        T = np.zeros((num_nodes, num_nodes), np.float32)
+        A[row, col] = a_norm
+        T[row, col] = theta
+        return MagneticTemplate(a_norm=jnp.asarray(A), theta=jnp.asarray(T),
+                                row=None, col=None, num_nodes=num_nodes,
+                                mode="dense")
+    # segment mode: reuse build_coo's sort/pad for the structure, then carry
+    # theta through the same permutation via a second build with equal order.
+    Acoo = build_coo(row, col, a_norm, num_nodes)
+    Tcoo = build_coo(row, col, theta, num_nodes)
+    return MagneticTemplate(
+        a_norm=Acoo.val, theta=Tcoo.val, row=Acoo.row, col=Acoo.col,
+        num_nodes=num_nodes, mode="segment",
+    )
+
+
+def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propagator]:
+    """Jit-safe rebuild of (L_hat_re, L_hat_im) for a (traced) phase q."""
+    ang = 2.0 * jnp.pi * q * tmpl.theta
+    re_vals = -tmpl.a_norm * jnp.cos(ang)
+    im_vals = -tmpl.a_norm * jnp.sin(ang)
+    if tmpl.mode == "dense":
+        return (
+            Propagator(coo=None, dense=re_vals, bsr=None, mode="dense"),
+            Propagator(coo=None, dense=im_vals, bsr=None, mode="dense"),
+        )
+    from ..ops.coo import COO
+
+    n = tmpl.num_nodes
+    e = tmpl.row.shape[0]
+    A_re = COO(row=tmpl.row, col=tmpl.col, val=re_vals, num_nodes=n,
+               num_cols=n, nnz=e)
+    A_im = COO(row=tmpl.row, col=tmpl.col, val=im_vals, num_nodes=n,
+               num_cols=n, nnz=e)
+    return (
+        Propagator(coo=A_re, dense=None, bsr=None, mode="segment"),
+        Propagator(coo=A_im, dense=None, bsr=None, mode="segment"),
+    )
