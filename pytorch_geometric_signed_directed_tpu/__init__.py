@@ -28,5 +28,10 @@ Architecture (TPU-first, bottom-up):
 __version__ = "0.1.0"
 
 from . import ops  # noqa: F401
+from . import graph  # noqa: F401
+from . import spectral  # noqa: F401
+from . import utils  # noqa: F401
+from . import data  # noqa: F401
+from . import nn  # noqa: F401
 
-__all__ = ["ops", "__version__"]
+__all__ = ["ops", "graph", "spectral", "utils", "data", "nn", "__version__"]

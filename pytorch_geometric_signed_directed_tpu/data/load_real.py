@@ -1,0 +1,248 @@
+"""Real-dataset loaders + name dispatchers.
+
+Reference: data/signed/SDGNN_real_data.py, SSSNET_real_data.py,
+MSGNN_real_data.py, data/directed/DIGRAC_real_data.py, Telegram.py,
+citation.py, WikiCS.py, WikipediaNetwork.py, load_directed_real_data.py,
+load_signed_real_data.py.
+
+Files are resolved from (in order): an explicit ``root``, the
+``PGSD_TPU_DATA`` environment variable, ``./datasets``, and the read-only
+reference bundle; anything unresolved falls back to downloading the
+reference's published URLs (which requires network access).
+"""
+import os
+import urllib.request
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from .signed_data import SignedData
+from .directed_data import DirectedData
+from ..utils.general.node_split import node_class_split
+
+_BASE_URL = ("https://github.com/SherylHYX/pytorch_geometric_signed_directed/"
+             "raw/main/datasets")
+
+_SEARCH_PATHS = [
+    os.environ.get("PGSD_TPU_DATA", ""),
+    "datasets",
+    "/root/reference/datasets",
+]
+
+
+def _resolve(relpath: str, root: Optional[str] = None) -> str:
+    """Find a raw dataset file locally or download it."""
+    cands = ([root] if root else []) + _SEARCH_PATHS
+    for base in cands:
+        if not base:
+            continue
+        p = os.path.join(base, relpath)
+        if os.path.isfile(p):
+            return p
+    # download into root (or cwd datasets/)
+    target_dir = os.path.join(root or "datasets", os.path.dirname(relpath))
+    os.makedirs(target_dir, exist_ok=True)
+    target = os.path.join(root or "datasets", relpath)
+    url = f"{_BASE_URL}/{relpath}"
+    try:
+        urllib.request.urlretrieve(url, target)
+    except Exception as e:  # zero-egress environments land here
+        raise FileNotFoundError(
+            f"Dataset file {relpath} not found in {cands} and download from "
+            f"{url} failed ({e}). Place the file under $PGSD_TPU_DATA or "
+            f"./datasets.") from e
+    return target
+
+
+def _coo_data(adj: sp.spmatrix):
+    coo = adj.tocoo()
+    edge_index = np.vstack([coo.row, coo.col]).astype(np.int64)
+    return edge_index, coo.data.astype(np.float32)
+
+
+def SDGNN_real_data(name: str, root: Optional[str] = None) -> SignedData:
+    """CSV edge-list loader (bitcoin_alpha/otc, wiki, slashdot, epinions)."""
+    fname = {"bitcoin_alpha": "bitcoin_alpha.csv",
+             "bitcoin_otc": "bitcoin_otc.csv",
+             "wiki": "wikirfa.csv",
+             "slashdot": "slashdot.csv",
+             "epinions": "epinions.csv"}[name.lower()]
+    path = _resolve(fname, root)
+    node_map = {}
+    rows, cols, w = [], [], []
+    with open(path) as f:
+        for line in f:
+            x = line.strip().split(",")
+            assert len(x) == 3
+            a, b = x[0], x[1]
+            if a not in node_map:
+                node_map[a] = len(node_map)
+            if b not in node_map:
+                node_map[b] = len(node_map)
+            rows.append(node_map[a])
+            cols.append(node_map[b])
+            w.append(float(x[2]))
+    edge_index = np.vstack([rows, cols]).astype(np.int64)
+    return SignedData(edge_index=edge_index,
+                      edge_weight=np.asarray(w, np.float32))
+
+
+def SSSNET_real_data(name: str, root: Optional[str] = None) -> SignedData:
+    """npz-adjacency + npy-labels loader (sampson, wikirfa, rainfall,
+    sp1500, ppi, fin_ynet20xx)."""
+    lname = name.lower()
+    dirmap = {"sampson": "Sampson", "ppi": "PPI", "sp1500": "SP1500",
+              "rainfall": "rainfall", "wikirfa": "wikirfa"}
+    d = dirmap.get(lname, "Fin_YNet" if lname[:8] == "fin_ynet" else lname)
+    adj = sp.load_npz(_resolve(f"{d}/{lname}_adj.npz", root))
+    labels = np.load(_resolve(f"{d}/{lname}_labels.npy", root))
+    edge_index, edge_weight = _coo_data(adj)
+    x = None
+    if lname == "sampson":
+        # hand-coded 1-d feature (reference SSSNET_real_data.py:71-75)
+        from sklearn.preprocessing import StandardScaler
+        feats = np.array([[1, 1, 1, 1, 1, 0, 0, 0, 1, 1, 1, 1, 0, 1, 1, 1, 1,
+                           0, 0, 0, 0, 0, 0, 0, 0]], dtype=float).T
+        x = StandardScaler().fit_transform(feats).astype(np.float32)
+    return SignedData(edge_index=edge_index, edge_weight=edge_weight,
+                      y=labels.astype(np.int64), x=x)
+
+
+def MSGNN_real_data(name: str, root: Optional[str] = None,
+                    sparsify_level: float = 1.0) -> SignedData:
+    """Dense .npy lead-lag matrices (FiLL-pvCLCL / FiLL-OPCL per year) with
+    top-|a| thresholding (reference MSGNN_real_data.py:58-68)."""
+    if not (0 < sparsify_level <= 1):
+        raise ValueError("Sparsify level should be greater than 0 and less "
+                         f"than 1 but got {sparsify_level}!")
+    fname = name[5:] + ".npy"  # e.g. FiLL-pvCLCL2000 -> pvCLCL2000.npy
+    adj = np.load(_resolve(f"FiLL/{fname}", root)).copy()
+    if sparsify_level < 1:
+        sorted_abs = np.sort(np.abs(adj).ravel())
+        threshold = sorted_abs[-int(len(sorted_abs) * sparsify_level)]
+        adj[np.abs(adj) < threshold] = 0
+    edge_index, edge_weight = _coo_data(sp.csr_matrix(adj))
+    return SignedData(edge_index=edge_index, edge_weight=edge_weight)
+
+
+def DIGRAC_real_data(name: str, root: Optional[str] = None) -> DirectedData:
+    """npz loader for blog / wikitalk / migration / lead_lag20xx."""
+    adj = sp.load_npz(_resolve(f"{name}.npz", root))
+    edge_index, edge_weight = _coo_data(adj)
+    return DirectedData(edge_index=edge_index, edge_weight=edge_weight)
+
+
+def Telegram(root: Optional[str] = None) -> DirectedData:
+    """Telegram graph with baked-in 60/20/20 per-class split and N(0,1)
+    features (reference Telegram.py:53-70)."""
+    A = sp.load_npz(_resolve("telegram/telegram_adj.npz", root))
+    label = np.load(_resolve("telegram/telegram_labels.npy", root))
+    rs = np.random.RandomState(seed=0)
+    features = rs.normal(0, 1.0, (A.shape[0], 1)).astype(np.float32)
+    edge_index, edge_weight = _coo_data(sp.csr_matrix(A))
+    data = DirectedData(x=features, edge_index=edge_index,
+                        edge_weight=edge_weight, y=label.astype(np.int64))
+    node_class_split(data, train_size_per_class=0.6, val_size_per_class=0.2,
+                     data_split=10)
+    return data
+
+
+def _citation(fname: str, root: Optional[str]) -> DirectedData:
+    with np.load(_resolve(fname, root), allow_pickle=True) as loader:
+        loader = dict(loader)
+        adj = sp.csr_matrix(
+            (loader["adj_data"], loader["adj_indices"],
+             loader["adj_indptr"]), shape=loader["adj_shape"])
+        features = sp.csr_matrix(
+            (loader["attr_data"], loader["attr_indices"],
+             loader["attr_indptr"]), shape=loader["attr_shape"])
+        labels = loader.get("labels")
+    edge_index, edge_weight = _coo_data(adj)
+    data = DirectedData(x=np.asarray(features.todense(), np.float32),
+                        edge_index=edge_index, edge_weight=edge_weight,
+                        y=np.asarray(labels, np.int64))
+    node_class_split(data, train_size_per_class=20, val_size=500,
+                     data_split=10)
+    return data
+
+
+def Cora_ml(root: Optional[str] = None) -> DirectedData:
+    return _citation("cora_ml.npz", root)
+
+
+def Citeseer(root: Optional[str] = None) -> DirectedData:
+    return _citation("citeseer.npz", root)
+
+
+def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
+                            name: str = "Texas",
+                            train_size=None, val_size=None, test_size=None,
+                            seed_size=None, train_size_per_class=None,
+                            val_size_per_class=None, test_size_per_class=None,
+                            seed_size_per_class=None, seed=None,
+                            data_split: int = 10) -> DirectedData:
+    """Name -> loader dispatch (reference load_directed_real_data.py:47-82)."""
+    lds = dataset.lower()
+    if lds == "citeseer":
+        data = Citeseer(root)
+    elif lds == "cora_ml":
+        data = Cora_ml(root)
+    elif lds == "telegram":
+        data = Telegram(root)
+    elif lds in ("blog", "wikitalk", "migration") or lds[:8] == "lead_lag":
+        data = DIGRAC_real_data(name=dataset, root=root)
+    elif lds in ("webkb", "wikics", "wikipedianetwork"):
+        raise NotImplementedError(
+            f"{dataset} requires downloading third-party archives, which "
+            "needs network access; place a preprocessed npz under "
+            "$PGSD_TPU_DATA instead.")
+    else:
+        raise NameError("Please input the correct data set name instead of "
+                        f"{dataset}!")
+    directed_dataset = DirectedData(edge_index=data.edge_index,
+                                    edge_weight=data.edge_weight,
+                                    init_data=data)
+    if train_size is not None or train_size_per_class is not None:
+        directed_dataset.node_split(
+            train_size=train_size, val_size=val_size, test_size=test_size,
+            seed_size=seed_size, train_size_per_class=train_size_per_class,
+            val_size_per_class=val_size_per_class,
+            test_size_per_class=test_size_per_class,
+            seed_size_per_class=seed_size_per_class, seed=seed,
+            data_split=data_split)
+    return directed_dataset
+
+
+def load_signed_real_data(dataset: str = "epinions", root: str = "./",
+                          train_size=None, val_size=None, test_size=None,
+                          seed_size=None, train_size_per_class=None,
+                          val_size_per_class=None, test_size_per_class=None,
+                          seed_size_per_class=None, seed=None,
+                          data_split: int = 10,
+                          sparsify_level: float = 1.0) -> SignedData:
+    """Name -> loader dispatch (reference load_signed_real_data.py:43-62)."""
+    lds = dataset.lower()
+    if lds in ("bitcoin_otc", "bitcoin_alpha", "wiki", "slashdot",
+               "epinions"):
+        data = SDGNN_real_data(name=dataset, root=root)
+    elif lds in ("sp1500", "rainfall", "sampson", "wikirfa", "ppi") \
+            or lds[:8] == "fin_ynet":
+        data = SSSNET_real_data(name=dataset, root=root)
+    elif lds[:4] == "fill":
+        data = MSGNN_real_data(name=dataset, root=root,
+                               sparsify_level=sparsify_level)
+    else:
+        raise NameError("Please input the correct data set name instead of "
+                        f"{dataset}!")
+    signed_dataset = SignedData(edge_index=data.edge_index,
+                                edge_weight=data.edge_weight, init_data=data)
+    if train_size is not None or train_size_per_class is not None:
+        signed_dataset.node_split(
+            train_size=train_size, val_size=val_size, test_size=test_size,
+            seed_size=seed_size, train_size_per_class=train_size_per_class,
+            val_size_per_class=val_size_per_class,
+            test_size_per_class=test_size_per_class,
+            seed_size_per_class=seed_size_per_class, seed=seed,
+            data_split=data_split)
+    return signed_dataset

@@ -1,0 +1,42 @@
+"""Single-head GAT convolution over a static padded edge structure.
+
+TPU equivalent of the PyG GATConv used inside SiGAT / SDGNN (reference
+nn/signed/SiGAT.py:62, SDGNN.py:35): gather + segment-softmax attention on
+an AttnGraph (self-loops baked in at build time).
+"""
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .snea_conv import AttnGraph, build_attention_graph
+from ...ops.segment import segment_softmax, segment_sum
+
+_glorot = nn.initializers.xavier_uniform()
+
+
+def gat_graph(edge_index, num_nodes: int) -> AttnGraph:
+    """Edge structure + self-loops for every node (PyG add_self_loops)."""
+    return build_attention_graph([(edge_index, 0, True)], num_nodes)
+
+
+class GATConv(nn.Module):
+    out_dim: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, g: AttnGraph) -> jnp.ndarray:
+        n = g.num_nodes
+        h = nn.Dense(self.out_dim, use_bias=False, kernel_init=_glorot)(x)
+        att_src = self.param("att_src", _glorot, (self.out_dim, 1))
+        att_dst = self.param("att_dst", _glorot, (self.out_dim, 1))
+        a_src = (h @ att_src)[:, 0]
+        a_dst = (h @ att_dst)[:, 0]
+        src = jnp.minimum(g.src, n - 1)
+        dst_safe = jnp.minimum(g.dst, n - 1)
+        logits = nn.leaky_relu(a_src[src] + a_dst[dst_safe],
+                               self.negative_slope)
+        alpha = segment_softmax(logits, g.dst, n, indices_are_sorted=True)
+        msg = h[src] * alpha[:, None]
+        valid = (g.dst < n)[:, None]
+        out = segment_sum(jnp.where(valid, msg, 0.0), g.dst, n,
+                          indices_are_sorted=True)
+        return out + self.param("bias", nn.initializers.zeros, (self.out_dim,))

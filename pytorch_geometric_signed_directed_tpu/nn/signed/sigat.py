@@ -1,0 +1,64 @@
+"""SiGAT: signed graph attention network over 38 motif graphs.
+
+Reference: nn/signed/SiGAT.py:11-203.  Motif adjacency extraction is
+vectorized host-side (motifs.sigat_edge_lists); each motif graph gets its
+own GATConv; embeddings concat + MLP; loss = Link_Sign_Product_Loss.
+"""
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .gat_conv import GATConv, gat_graph
+from .motifs import sigat_edge_lists
+from .sgcn import split_signed_edges
+from ...spectral.features import create_spectral_features
+from ...utils.signed.link_sign_loss import link_sign_product_loss
+
+_kaiming = nn.initializers.kaiming_normal()
+
+
+def prepare_sigat_inputs(node_num: int, edge_index_s, in_dim: int = 20,
+                         init_emb: Optional[np.ndarray] = None):
+    """Host-side setup: spectral init embedding + 38 motif AttnGraphs."""
+    pos_edge_index, neg_edge_index = split_signed_edges(edge_index_s)
+    if init_emb is None:
+        init_emb = create_spectral_features(pos_edge_index, neg_edge_index,
+                                            node_num, in_dim)
+    graphs = [gat_graph(e, node_num)
+              for e in sigat_edge_lists(edge_index_s, node_num)]
+    return pos_edge_index, neg_edge_index, init_emb, graphs
+
+
+class SiGAT(nn.Module):
+    node_num: int
+    num_graphs: int = 38
+    in_dim: int = 20
+    out_dim: int = 20
+    init_emb_grad: bool = True
+    init_emb: Optional[np.ndarray] = None
+
+    def setup(self):
+        if self.init_emb_grad:
+            self.x = self.param("x", lambda k: jnp.asarray(self.init_emb))
+        else:
+            self.x = jnp.asarray(self.init_emb)
+        self.aggs = [GATConv(self.out_dim, name=f"agg_{i}")
+                     for i in range(self.num_graphs)]
+        self.mlp1 = nn.Dense(self.out_dim, kernel_init=_kaiming,
+                             bias_init=nn.initializers.constant(0.01))
+        self.mlp2 = nn.Dense(self.out_dim, kernel_init=_kaiming,
+                             bias_init=nn.initializers.constant(0.01))
+
+    def __call__(self, graphs: List) -> jnp.ndarray:
+        x = self.x
+        feats = [x]
+        for agg, g in zip(self.aggs, graphs):
+            feats.append(agg(x, g))
+        combined = jnp.concatenate(feats, axis=1)
+        return self.mlp2(jnp.tanh(self.mlp1(combined)))
+
+    def loss(self, graphs, pos_edge_index, neg_edge_index):
+        z = self(graphs)
+        return link_sign_product_loss(z, pos_edge_index, neg_edge_index)

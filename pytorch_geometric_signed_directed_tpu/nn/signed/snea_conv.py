@@ -1,0 +1,121 @@
+"""SNEAConv: signed attention convolution.
+
+Reference: nn/signed/SNEAConv.py:12-150.  The per-edge attention (Linear on
+concat(src, dst) -> tanh -> softmax by destination) runs on static padded
+edge structures (AttnGraph) via gather + segment_softmax + segment_sum —
+the TPU equivalent of PyG's softmax-by-index message passing.
+
+Faithful to the reference's message function (:135-146): the aggregated
+message is alpha * x_i where x_i is the *destination* feature selected per
+edge type — not the source feature.
+"""
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+from flax import struct
+
+from ...ops.segment import segment_softmax, segment_sum
+
+_xavier_normal = nn.initializers.xavier_normal()
+
+
+@struct.dataclass
+class AttnGraph:
+    """Padded edge structure sorted by destination.
+
+    src/dst: [E_pad] int32 (dst == num_nodes marks padding).
+    edge_p:  [E_pad] int32 edge-type selector (0 balanced / 1 unbalanced).
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    edge_p: jnp.ndarray
+    num_nodes: int = struct.field(pytree_node=False)
+
+
+def build_attention_graph(edge_sets, num_nodes: int,
+                          pad_multiple: int = 8) -> AttnGraph:
+    """edge_sets: list of (edge_index [2, E], flag, add_self_loops)."""
+    srcs, dsts, flags = [], [], []
+    for edge_index, flag, loops in edge_sets:
+        edge_index = np.asarray(edge_index)
+        if edge_index.size:
+            mask = edge_index[0] != edge_index[1]
+            edge_index = edge_index[:, mask]
+        s, d = edge_index[0], edge_index[1]
+        if loops:
+            s = np.concatenate([s, np.arange(num_nodes)])
+            d = np.concatenate([d, np.arange(num_nodes)])
+        srcs.append(s)
+        dsts.append(d)
+        flags.append(np.full(len(s), flag))
+    src = np.concatenate(srcs).astype(np.int64)
+    dst = np.concatenate(dsts).astype(np.int64)
+    flag = np.concatenate(flags).astype(np.int32)
+    order = np.argsort(dst, kind="stable")
+    src, dst, flag = src[order], dst[order], flag[order]
+    e = len(src)
+    e_pad = max(((e + pad_multiple - 1) // pad_multiple) * pad_multiple,
+                pad_multiple)
+    psrc = np.zeros(e_pad, np.int32)
+    pdst = np.full(e_pad, num_nodes, np.int32)
+    pflag = np.zeros(e_pad, np.int32)
+    psrc[:e], pdst[:e], pflag[:e] = src, dst, flag
+    return AttnGraph(src=jnp.asarray(psrc), dst=jnp.asarray(pdst),
+                     edge_p=jnp.asarray(pflag), num_nodes=num_nodes)
+
+
+def snea_graphs(pos_edge_index, neg_edge_index, num_nodes: int
+                ) -> Tuple[AttnGraph, AttnGraph, AttnGraph]:
+    """(pos+loops, neg+loops, concat[pos+loops ; neg]) — the structures the
+    reference rebuilds per forward (:88-127), frozen once."""
+    g_pos = build_attention_graph([(pos_edge_index, 0, True)], num_nodes)
+    g_neg = build_attention_graph([(neg_edge_index, 0, True)], num_nodes)
+    g_cat = build_attention_graph(
+        [(pos_edge_index, 0, True), (neg_edge_index, 1, False)], num_nodes)
+    return g_pos, g_neg, g_cat
+
+
+def _attend(x1, x2, g: AttnGraph, alpha_dense: nn.Dense):
+    """One attention propagate: returns [N, F]."""
+    n = g.num_nodes
+    src = jnp.minimum(g.src, n - 1)
+    dst_safe = jnp.minimum(g.dst, n - 1)
+    sel = (g.edge_p == 1)[:, None]
+    h_j = jnp.where(sel, x2[src], x1[src])
+    h_i = jnp.where(sel, x2[dst_safe], x1[dst_safe])
+    edge_h = jnp.concatenate([h_j, h_i], axis=-1)
+    alpha = jnp.tanh(alpha_dense(edge_h))
+    alpha = segment_softmax(alpha[:, 0], g.dst, n, indices_are_sorted=True)
+    msg = h_i * alpha[:, None]
+    valid = (g.dst < n)[:, None]
+    return segment_sum(jnp.where(valid, msg, 0.0), g.dst, n,
+                       indices_are_sorted=True)
+
+
+class SNEAConv(nn.Module):
+    in_dim: int
+    out_dim: int
+    first_aggr: bool
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, g_pos: AttnGraph, g_neg: AttnGraph,
+                 g_cat: AttnGraph) -> jnp.ndarray:
+        lin_b = nn.Dense(self.out_dim, use_bias=self.use_bias, name="lin_b")
+        lin_u = nn.Dense(self.out_dim, use_bias=self.use_bias, name="lin_u")
+        alpha_b = nn.Dense(1, kernel_init=_xavier_normal, name="alpha_b")
+        alpha_u = nn.Dense(1, kernel_init=_xavier_normal, name="alpha_u")
+        if self.first_aggr:
+            h_b = lin_b(x)
+            h_u = lin_u(x)
+            out_b = _attend(h_b, h_b, g_pos, alpha_b)
+            out_u = _attend(h_u, h_u, g_neg, alpha_u)
+        else:
+            F_in = self.in_dim
+            h_b, h_u = x[..., :F_in], x[..., F_in:]
+            out_b = _attend(lin_b(h_b), lin_b(h_u), g_cat, alpha_b)
+            out_u = _attend(lin_u(h_u), lin_u(h_b), g_cat, alpha_u)
+        return jnp.concatenate([out_b, out_u], axis=-1)

@@ -1,0 +1,23 @@
+"""Multi-chip scaling: mesh utilities + sharded propagators.
+
+The reference has no distributed layer at all (SURVEY.md §2.7); this module
+is the TPU-native scaling story: graphs are partitioned over a
+jax.sharding.Mesh (row/edge partition), XLA's GSPMD inserts the collectives
+(all-gather of activations over ICI), and the same model code runs on one
+chip via a trivial mesh.
+"""
+
+from .mesh import make_mesh, local_mesh
+from .sharded import (
+    replicate,
+    shard_propagator,
+    shard_magnet_laplacian,
+)
+
+__all__ = [
+    "make_mesh",
+    "local_mesh",
+    "replicate",
+    "shard_propagator",
+    "shard_magnet_laplacian",
+]

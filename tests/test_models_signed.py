@@ -1,0 +1,251 @@
+"""Signed model family: SGCN/SNEA/SiGAT/SDGNN embed + sklearn eval,
+SSSNET clustering. Mirrors reference test/signed_test.py."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from pytorch_geometric_signed_directed_tpu.data import SSBM, SignedData
+from pytorch_geometric_signed_directed_tpu.graph import rw_norm_propagator
+from pytorch_geometric_signed_directed_tpu.nn import (
+    SGCN,
+    SNEA,
+    SDGNN,
+    SiGAT,
+    SSSNET_link_prediction,
+    SSSNET_node_clustering,
+)
+from pytorch_geometric_signed_directed_tpu.nn.signed.sgcn import (
+    prepare_sgcn_inputs,
+)
+from pytorch_geometric_signed_directed_tpu.nn.signed.snea import (
+    prepare_snea_inputs,
+)
+from pytorch_geometric_signed_directed_tpu.nn.signed.sigat import (
+    prepare_sigat_inputs,
+)
+from pytorch_geometric_signed_directed_tpu.nn.signed.sdgnn import (
+    prepare_sdgnn_inputs,
+)
+from pytorch_geometric_signed_directed_tpu.utils import (
+    Prob_Balanced_Normalized_Loss,
+    Prob_Balanced_Ratio_Loss,
+    Unhappy_Ratio,
+    link_sign_prediction_logistic_function,
+    negative_sampling,
+    structured_negative_sampling,
+    triplet_loss_node_classification,
+)
+
+
+def mock_signed_edges(n=60, seed=0):
+    (A_p, A_n), labels = SSBM(n, 2, 0.3, 0.1, size_ratio=1,
+                              rng=np.random.default_rng(seed))
+    d = SignedData(A=(A_p, A_n), y=labels)
+    ei = d.edge_index
+    w = d.edge_weight
+    edge_index_s = np.concatenate(
+        [ei.T, np.sign(w)[:, None].astype(np.int64)], axis=1)
+    return d, edge_index_s
+
+
+def _embedding_model_harness(model_fn, prep, loss_args_fn, n=60, steps=15):
+    """Build model, train a few steps on its own loss, sklearn-evaluate."""
+    d, edge_index_s = mock_signed_edges(n)
+    inputs = prep(n, edge_index_s)
+    pos_ei, neg_ei = inputs[0], inputs[1]
+    model = model_fn(inputs)
+
+    fwd_args, make_loss_args = loss_args_fn(inputs)
+    rng = np.random.default_rng(0)
+    # init through the loss so sampling-loss heads get parameters too
+    params = model.init(jax.random.PRNGKey(0), *make_loss_args(rng),
+                        method=type(model).loss)
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    loss_jit = None
+    losses = []
+    for _ in range(steps):
+        largs = make_loss_args(rng)
+        if loss_jit is None:
+            loss_jit = jax.jit(
+                lambda p, *a: jax.value_and_grad(
+                    lambda pp: model.apply(pp, *a, method=type(model).loss)
+                )(p))
+        (loss, grads) = loss_jit(params, *largs)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    z = np.asarray(model.apply(params, *fwd_args))
+    assert z.shape[0] == n and np.isfinite(z).all()
+
+    # sklearn link-sign eval end-to-end (reference signed_test.py:90-169)
+    edges = np.concatenate([pos_ei.T, neg_ei.T])
+    y = np.concatenate([np.ones(pos_ei.shape[1], int),
+                        np.zeros(neg_ei.shape[1], int)])
+    perm = np.random.default_rng(1).permutation(len(y))
+    edges, y = edges[perm], y[perm]
+    cut = int(0.8 * len(y))
+    acc, f1, f1m, f1mi, auc = link_sign_prediction_logistic_function(
+        z, edges[:cut], y[:cut], edges[cut:], y[cut:])
+    for v in (acc, f1, f1m, f1mi, auc):
+        assert 0 <= v <= 1
+    return acc
+
+
+class TestSGCN:
+    def test_train_and_eval(self):
+        n = 60
+
+        def model_fn(inputs):
+            return SGCN(node_num=n, in_dim=16, out_dim=16, layer_num=2,
+                        init_emb=inputs[2])
+
+        def loss_args(inputs):
+            pos_ei, neg_ei, init_emb, P_pos, P_neg = inputs
+            fwd = (P_pos, P_neg)
+
+            def make(rng):
+                both = np.concatenate([pos_ei, neg_ei], axis=1)
+                none_ei = negative_sampling(both, n, rng=rng)
+                pos_t = structured_negative_sampling(pos_ei, n, rng=rng)
+                neg_t = structured_negative_sampling(neg_ei, n, rng=rng)
+                return (P_pos, P_neg, pos_ei, neg_ei, none_ei,
+                        pos_t, neg_t)
+            return fwd, make
+
+        acc = _embedding_model_harness(
+            model_fn, lambda nn_, e: prepare_sgcn_inputs(nn_, e, in_dim=16),
+            loss_args)
+        assert acc > 0.5
+
+
+class TestSNEA:
+    def test_train_and_eval(self):
+        n = 60
+
+        def model_fn(inputs):
+            return SNEA(node_num=n, in_dim=16, out_dim=16, layer_num=2,
+                        init_emb=inputs[2])
+
+        def loss_args(inputs):
+            pos_ei, neg_ei, init_emb, graphs = inputs
+            fwd = (graphs,)
+
+            def make(rng):
+                both = np.concatenate([pos_ei, neg_ei], axis=1)
+                none_ei = negative_sampling(both, n, rng=rng)
+                pos_t = structured_negative_sampling(pos_ei, n, rng=rng)
+                neg_t = structured_negative_sampling(neg_ei, n, rng=rng)
+                return (graphs, pos_ei, neg_ei, none_ei,
+                        pos_t, neg_t)
+            return fwd, make
+
+        _embedding_model_harness(
+            model_fn, lambda nn_, e: prepare_snea_inputs(nn_, e, in_dim=16),
+            loss_args)
+
+
+class TestSiGAT:
+    def test_train_and_eval(self):
+        n = 60
+
+        def model_fn(inputs):
+            return SiGAT(node_num=n, in_dim=16, out_dim=16,
+                         init_emb=inputs[2])
+
+        def loss_args(inputs):
+            pos_ei, neg_ei, init_emb, graphs = inputs
+            fwd = (graphs,)
+
+            def make(rng):
+                return (graphs, pos_ei, neg_ei)
+            return fwd, make
+
+        _embedding_model_harness(
+            model_fn, lambda nn_, e: prepare_sigat_inputs(nn_, e, in_dim=16),
+            loss_args, steps=10)
+
+    def test_motif_count(self):
+        d, edge_index_s = mock_signed_edges(40, seed=3)
+        _, _, _, graphs = prepare_sigat_inputs(40, edge_index_s, in_dim=8)
+        assert len(graphs) == 38
+
+
+class TestSDGNN:
+    def test_train_and_eval(self):
+        n = 60
+
+        def model_fn(inputs):
+            return SDGNN(node_num=n, in_dim=16, out_dim=16, layer_num=2,
+                         init_emb=inputs[2])
+
+        def loss_args(inputs):
+            pos_ei, neg_ei, init_emb, graphs, w_pos, w_neg = inputs
+            fwd = (graphs,)
+
+            def make(rng):
+                return (graphs, pos_ei, neg_ei, w_pos, w_neg)
+            return fwd, make
+
+        _embedding_model_harness(
+            model_fn,
+            lambda nn_, e: prepare_sdgnn_inputs(nn_, e, in_dim=16),
+            loss_args, steps=10)
+
+
+class TestSSSNET:
+    def _propagators(self, d, directed):
+        d.separate_positive_negative()
+        n = d.num_nodes
+        P_p = rw_norm_propagator(d.edge_index_p, d.edge_weight_p, n,
+                                 fill_value=0.5)
+        P_n = rw_norm_propagator(d.edge_index_n, d.edge_weight_n, n,
+                                 fill_value=0.0)
+        if not directed:
+            return P_p, P_n, None, None
+        P_pt = rw_norm_propagator(d.edge_index_p[[1, 0]], d.edge_weight_p, n,
+                                  fill_value=0.5)
+        P_nt = rw_norm_propagator(d.edge_index_n[[1, 0]], d.edge_weight_n, n,
+                                  fill_value=0.0)
+        return P_p, P_n, P_pt, P_nt
+
+    @pytest.mark.parametrize("directed", [False, True])
+    def test_clustering(self, directed):
+        d, _ = mock_signed_edges(50, seed=5)
+        n = d.num_nodes
+        x = np.random.default_rng(0).standard_normal((n, 4)).astype(np.float32)
+        P_p, P_n, P_pt, P_nt = self._propagators(d, directed)
+        model = SSSNET_node_clustering(nfeat=4, hidden=8, nclass=2,
+                                       directed=directed)
+        params = model.init(jax.random.PRNGKey(0), P_p, P_n, x, P_pt, P_nt)
+        z, logp, pred, prob = model.apply(params, P_p, P_n, x, P_pt, P_nt)
+        dim = 4 * 8 if directed else 2 * 8
+        assert z.shape == (n, dim)
+        assert logp.shape == (n, 2) and prob.shape == (n, 2)
+
+        # self-supervised losses on the probabilities
+        d.separate_positive_negative()
+        pbnc = Prob_Balanced_Normalized_Loss(d.A_p.tocsr(), d.A_n.tocsr())
+        pbrc = Prob_Balanced_Ratio_Loss(d.A_p.tocsr(), d.A_n.tocsr())
+        ur = Unhappy_Ratio(d.A_p.tocsr(), d.A_n.tocsr())
+        for loss in (pbnc(prob), pbrc(prob), ur(prob)):
+            assert np.isfinite(float(loss))
+        assert float(pbnc(prob)) >= 0
+        tl = triplet_loss_node_classification(d.y, z, n_sample=100, thre=0.1)
+        assert float(tl) >= 0
+
+    def test_link_prediction(self):
+        d, _ = mock_signed_edges(50, seed=7)
+        n = d.num_nodes
+        x = np.random.default_rng(0).standard_normal((n, 4)).astype(np.float32)
+        P_p, P_n, _, _ = self._propagators(d, False)
+        q_edges = jnp.asarray(d.edge_index.T[:20])
+        model = SSSNET_link_prediction(nfeat=4, hidden=8, nclass=2)
+        params = model.init(jax.random.PRNGKey(0), P_p, P_n, x, q_edges)
+        out = model.apply(params, P_p, P_n, x, q_edges)
+        assert out.shape == (20, 2)

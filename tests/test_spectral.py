@@ -1,0 +1,176 @@
+"""Spectral preprocessing parity vs independent dense-numpy derivations."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pytorch_geometric_signed_directed_tpu.spectral import (
+    appr_directed_adj,
+    cal_fast_appr,
+    create_spectral_features,
+    hermitian_features,
+    magnet_propagators,
+    magnetic_laplacian,
+    magnetic_signed_laplacian,
+    magnetic_template,
+    second_directed_adj,
+    signed_laplacian_eig_features,
+    spectral_adjacency_reg_features,
+    template_propagators,
+)
+
+
+def random_digraph(n=30, e=120, seed=0, signed=False):
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    keep = row != col
+    row, col = row[keep], col[keep]
+    # dedupe to keep the dense derivation simple
+    key = np.unique(row * n + col)
+    row, col = key // n, key % n
+    w = rng.uniform(0.5, 2.0, len(row))
+    if signed:
+        w *= rng.choice([-1.0, 1.0], len(row))
+    return np.stack([row, col]), w
+
+
+def dense_magnetic_laplacian(edge_index, w, n, q, normalization="sym",
+                             signed=False, absolute_degree=True):
+    """Independent dense derivation of the (signed) magnetic Laplacian."""
+    A = np.zeros((n, n))
+    A[edge_index[0], edge_index[1]] = w
+    sym = (A + A.T) / 2
+    theta = A - A.T
+    phase = np.exp(1j * 2 * np.pi * q * theta)
+    if not signed:
+        deg = sym.sum(1)
+    elif absolute_degree:
+        deg = ((np.abs(A) + np.abs(A).T) / 2).sum(1)
+    else:
+        deg = np.abs(sym).sum(1)
+    H = sym * phase
+    if normalization is None:
+        return np.diag(deg) - H
+    dinv = np.where(deg > 0, deg ** -0.5, 0)
+    return np.eye(n) - dinv[:, None] * H * dinv[None, :]
+
+
+def assemble(ei, wre, wim, n):
+    L = np.zeros((n, n), dtype=complex)
+    np.add.at(L, (ei[0], ei[1]), wre + 1j * wim)
+    return L
+
+
+@pytest.mark.parametrize("normalization", [None, "sym"])
+def test_magnetic_laplacian_matches_dense(normalization):
+    n = 30
+    ei, w = random_digraph(n)
+    for q in (0.0, 0.1, 0.25):
+        out = magnetic_laplacian(ei, w, normalization, n, q)
+        L = assemble(out[0], out[1], out[2], n)
+        np.testing.assert_allclose(
+            L, dense_magnetic_laplacian(ei, w, n, q, normalization),
+            atol=1e-10)
+
+
+@pytest.mark.parametrize("absolute_degree", [True, False])
+def test_magnetic_signed_laplacian_matches_dense(absolute_degree):
+    n = 30
+    ei, w = random_digraph(n, signed=True, seed=3)
+    out = magnetic_signed_laplacian(ei, w, "sym", n, 0.2,
+                                    absolute_degree=absolute_degree)
+    L = assemble(out[0], out[1], out[2], n)
+    np.testing.assert_allclose(
+        L, dense_magnetic_laplacian(ei, w, n, 0.2, "sym", signed=True,
+                                    absolute_degree=absolute_degree),
+        atol=1e-10)
+
+
+def test_lambda_max_is_largest_eig():
+    n = 20
+    ei, w = random_digraph(n, seed=5)
+    _, _, _, lmax = magnetic_laplacian(ei, w, "sym", n, 0.25,
+                                       return_lambda_max=True)
+    L = dense_magnetic_laplacian(ei, w, n, 0.25, "sym")
+    np.testing.assert_allclose(lmax, np.abs(np.linalg.eigvalsh(L)).max(),
+                               rtol=1e-6)
+
+
+def test_magnet_propagators_scaled():
+    """Propagator pair == 2L/lambda - I applied densely (lambda=2, sym)."""
+    n = 25
+    ei, w = random_digraph(n, seed=7)
+    P_re, P_im = magnet_propagators(ei, w, q=0.25, num_nodes=n, mode="dense")
+    L = dense_magnetic_laplacian(ei, w, n, 0.25, "sym")
+    Lhat = L - np.eye(n)
+    np.testing.assert_allclose(np.asarray(P_re.dense), Lhat.real, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P_im.dense), Lhat.imag, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["dense", "segment"])
+def test_template_matches_static(mode):
+    n = 25
+    ei, w = random_digraph(n, seed=9)
+    tmpl = magnetic_template(ei, w, n, mode=mode)
+    for q in (0.05, 0.25):
+        P_re, P_im = template_propagators(tmpl, q)
+        S_re, S_im = magnet_propagators(ei, w, q=q, num_nodes=n, mode="dense")
+        x = np.random.default_rng(0).standard_normal((n, 4)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(P_re(x)), np.asarray(S_re(x)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(P_im(x)), np.asarray(S_im(x)),
+                                   atol=1e-5)
+
+
+class TestAppr:
+    def test_appr_adjacency_symmetric(self):
+        ei, w = random_digraph(20, 60, seed=11)
+        out_ei, out_w = appr_directed_adj(0.1, ei, 20)
+        A = np.zeros((20, 20))
+        A[out_ei[0], out_ei[1]] = out_w
+        np.testing.assert_allclose(A, A.T, atol=1e-6)
+
+    def test_second_adj_symmetric(self):
+        ei, w = random_digraph(20, 60, seed=13)
+        out_ei, out_w = second_directed_adj(ei, 20)
+        A = np.zeros((20, 20))
+        A[out_ei[0], out_ei[1]] = out_w
+        np.testing.assert_allclose(A, A.T, atol=1e-6)
+
+    def test_cal_fast_appr_runs(self):
+        ei, w = random_digraph(20, 60, seed=15)
+        out_ei, out_w = cal_fast_appr(0.1, ei, 20)
+        assert out_ei.shape[0] == 2 and len(out_w) == out_ei.shape[1]
+        assert np.isfinite(out_w).all()
+
+
+class TestFeatures:
+    def test_create_spectral_features_shape(self):
+        rng = np.random.default_rng(0)
+        pos = rng.integers(0, 40, (2, 100))
+        neg = rng.integers(0, 40, (2, 40))
+        x = create_spectral_features(pos, neg, 40, dim=8)
+        assert x.shape == (40, 8)
+        assert np.isfinite(x).all()
+
+    def test_hermitian_features(self):
+        ei, w = random_digraph(30, seed=17)
+        A = sp.coo_matrix((w, (ei[0], ei[1])), shape=(30, 30)).tocsr()
+        x = hermitian_features(A, k=2)
+        assert x.shape == (30, 4)
+        # StandardScaler output: zero mean per column
+        np.testing.assert_allclose(x.mean(0), 0, atol=1e-5)
+
+    def test_signed_features(self):
+        rng = np.random.default_rng(1)
+        d = rng.integers(0, 25, (2, 150))
+        A_p = sp.coo_matrix((np.ones(150), (d[0], d[1])), shape=(25, 25))
+        d2 = rng.integers(0, 25, (2, 50))
+        A_n = sp.coo_matrix((np.ones(50), (d2[0], d2[1])), shape=(25, 25))
+        x1 = signed_laplacian_eig_features(A_p.tocsr(), A_n.tocsr(), k=3)
+        assert x1.shape == (25, 3)
+        for norm in (None, "sym", "sym_sep"):
+            x2 = spectral_adjacency_reg_features(A_p.tocsr(), A_n.tocsr(),
+                                                 k=3, normalization=norm)
+            assert x2.shape == (25, 3)
+            assert np.isfinite(x2).all()
