@@ -49,8 +49,11 @@ def _time_train(model, x, lap, y, steps=50):
     opt_state = tx.init(params)
     n = x.shape[0]
 
+    # the graph operators are jit ARGUMENTS, not closure constants — baking
+    # a [N, N] dense propagator into the HLO as a constant bloats the
+    # program (and overflows remote-compile transports)
     @jax.jit
-    def step(params, opt_state):
+    def step(params, opt_state, x, lap, y):
         def loss_fn(p):
             logp = model.apply(p, x, x, lap)
             return -jnp.mean(logp[jnp.arange(n), y])
@@ -59,11 +62,11 @@ def _time_train(model, x, lap, y, steps=50):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    params, opt_state, loss = step(params, opt_state)  # compile + warmup
+    params, opt_state, loss = step(params, opt_state, x, lap, y)  # compile
     loss.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
+        params, opt_state, loss = step(params, opt_state, x, lap, y)
     loss.block_until_ready()
     return (time.perf_counter() - t0) / steps
 

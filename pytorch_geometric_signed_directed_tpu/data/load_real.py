@@ -69,6 +69,14 @@ def SDGNN_real_data(name: str, root: Optional[str] = None) -> SignedData:
              "slashdot": "slashdot.csv",
              "epinions": "epinions.csv"}[name.lower()]
     path = _resolve(fname, root)
+    from .. import native
+
+    parsed = native.parse_signed_csv(path)
+    if parsed is not None:
+        rows, cols, w, _ = parsed
+        return SignedData(edge_index=np.vstack([rows, cols]),
+                          edge_weight=w)
+    # pure-Python fallback (reference SDGNN_real_data.py:66-99 semantics)
     node_map = {}
     rows, cols, w = [], [], []
     with open(path) as f:

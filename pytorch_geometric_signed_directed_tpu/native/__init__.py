@@ -1,0 +1,111 @@
+"""ctypes bindings for the native C++ data tier (csrc/pgsd_native.cpp).
+
+Compiled on first use with g++ into a per-user cache; every entry point has
+a pure-Python fallback, so the package works without a toolchain.
+"""
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+
+def _csrc_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "csrc", "pgsd_native.cpp")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    src = _csrc_path()
+    if not os.path.isfile(src):
+        return None
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"libpgsd_native_{digest}.so")
+    if not os.path.isfile(cache):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
+                 "-o", cache], check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        lib = ctypes.CDLL(cache)
+    except OSError:
+        return None
+    lib.pgsd_parse_csv.restype = ctypes.c_void_p
+    lib.pgsd_parse_csv.argtypes = [ctypes.c_char_p]
+    lib.pgsd_num_edges.restype = ctypes.c_int64
+    lib.pgsd_num_edges.argtypes = [ctypes.c_void_p]
+    lib.pgsd_num_nodes.restype = ctypes.c_int64
+    lib.pgsd_num_nodes.argtypes = [ctypes.c_void_p]
+    lib.pgsd_fill.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+    ]
+    lib.pgsd_free.argtypes = [ctypes.c_void_p]
+    lib.pgsd_coalesce.restype = ctypes.c_int64
+    lib.pgsd_coalesce.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_signed_csv(path: str) -> Optional[
+        Tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """(rows, cols, weights, num_nodes) or None if the native lib is
+    unavailable.  Node ids are assigned in first-seen order — identical to
+    the reference's Python dict loop."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.pgsd_parse_csv(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        e = lib.pgsd_num_edges(h)
+        n = lib.pgsd_num_nodes(h)
+        rows = np.empty(e, np.int64)
+        cols = np.empty(e, np.int64)
+        w = np.empty(e, np.float32)
+        lib.pgsd_fill(h, rows, cols, w)
+    finally:
+        lib.pgsd_free(h)
+    return rows, cols, w, int(n)
+
+
+def coalesce(rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
+             num_cols: int) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]]:
+    """In-place sort-by-(row, col) + duplicate-sum; returns trimmed copies,
+    or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int64).copy()
+    cols = np.ascontiguousarray(cols, np.int64).copy()
+    weights = np.ascontiguousarray(weights, np.float32).copy()
+    out = lib.pgsd_coalesce(rows, cols, weights, len(rows), num_cols)
+    return rows[:out], cols[:out], weights[:out]

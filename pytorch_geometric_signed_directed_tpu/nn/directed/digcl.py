@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.spmm import Propagator
+from ..normalize import l2_normalize
 
 
 class _GCNConv(nn.Module):
@@ -80,8 +81,8 @@ class DiGCL(nn.Module):
 
     @staticmethod
     def sim(z1, z2):
-        z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=1, keepdims=True), 1e-12)
-        z2 = z2 / jnp.maximum(jnp.linalg.norm(z2, axis=1, keepdims=True), 1e-12)
+        z1 = l2_normalize(z1)
+        z2 = l2_normalize(z2)
         return z1 @ z2.T
 
     def semi_loss(self, z1, z2):

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.spmm import Propagator
+from ..normalize import l2_normalize
 
 _xavier_gain_1414 = nn.initializers.variance_scaling(
     2.0, "fan_avg", "uniform")  # xavier_uniform with gain=1.414 (gain^2 = 2)
@@ -72,6 +73,5 @@ class DIGRAC_node_clustering(nn.Module):
         predictions_cluster = jnp.argmax(output, axis=1)
         prob = jax.nn.softmax(output, axis=1)
         log_prob = jax.nn.log_softmax(output, axis=1)
-        z_norm = z / jnp.maximum(
-            jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+        z_norm = l2_normalize(z)
         return z_norm, log_prob, predictions_cluster, prob

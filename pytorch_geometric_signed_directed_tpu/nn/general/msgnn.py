@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..directed.complex_relu import complex_relu
+from ..normalize import l2_normalize
 from .msconv import MSConv
 from ...ops.spmm import Propagator
 from ...spectral.magnetic import MagneticTemplate
@@ -102,5 +103,5 @@ class MSGNN_node_classification(nn.Module):
         log_prob = nn.log_softmax(x, axis=1)
         predictions_cluster = jnp.argmax(log_prob, axis=1)
         prob = jax.nn.softmax(x, axis=1)
-        z_norm = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+        z_norm = l2_normalize(z)
         return z_norm, log_prob, predictions_cluster, prob

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ...ops.spmm import Propagator
+from ..normalize import l2_normalize
 
 
 class SGCNConv(nn.Module):
@@ -40,6 +41,5 @@ class SGCNConv(nn.Module):
                 [P_pos(x_u), P_neg(x_b), x_u], axis=-1))
             out = jnp.concatenate([out_b, out_u], axis=-1)
         if self.norm_emb:
-            out = out / jnp.maximum(
-                jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+            out = l2_normalize(out)
         return out

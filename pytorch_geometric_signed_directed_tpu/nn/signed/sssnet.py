@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .simpa import SIMPA
+from ..normalize import l2_normalize
 from ...ops.spmm import Propagator
 
 _xavier_gain_1414 = nn.initializers.variance_scaling(2.0, "fan_avg", "uniform")
@@ -76,8 +77,7 @@ class SSSNET_node_clustering(nn.Module):
         predictions_cluster = jnp.argmax(output, axis=1)
         prob = jax.nn.softmax(output, axis=1)
         log_prob = jax.nn.log_softmax(output, axis=1)
-        z_norm = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True),
-                                 1e-12)
+        z_norm = l2_normalize(z)
         return z_norm, log_prob, predictions_cluster, prob
 
 

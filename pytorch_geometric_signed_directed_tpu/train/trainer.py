@@ -1,0 +1,89 @@
+"""Generic jitted full-batch trainer."""
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+import jax
+import optax
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+    best_metric: float = -np.inf
+    best_params: Any = None
+    history: Dict[str, list] = field(default_factory=dict)
+
+
+class Trainer:
+    """Full-batch training harness.
+
+    Args:
+        loss_fn: (params, *batch) -> scalar loss.  Must be jit-safe.
+        lr / weight_decay: Adam(W) settings (the reference examples all use
+            torch Adam, e.g. examples/magnet_link.py:60).
+    """
+
+    def __init__(self, loss_fn: Callable, lr: float = 1e-3,
+                 weight_decay: float = 0.0, optimizer=None):
+        self.loss_fn = loss_fn
+        if optimizer is None:
+            optimizer = (optax.adamw(lr, weight_decay=weight_decay)
+                         if weight_decay else optax.adam(lr))
+        self.tx = optimizer
+
+        def _step(params, opt_state, *batch):
+            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step = jax.jit(_step)
+
+    def init(self, params) -> TrainState:
+        return TrainState(params=params, opt_state=self.tx.init(params))
+
+    def step(self, state: TrainState, *batch) -> float:
+        state.params, state.opt_state, loss = self._step(
+            state.params, state.opt_state, *batch)
+        state.step += 1
+        return float(loss)
+
+    def fit(self, state: TrainState, batch_fn: Callable[[], tuple],
+            epochs: int, eval_fn: Optional[Callable] = None,
+            eval_every: int = 10, patience: Optional[int] = None,
+            verbose: bool = False) -> TrainState:
+        """batch_fn() -> loss args per step (host-side sampling lives here);
+        eval_fn(params) -> float metric (higher is better)."""
+        bad = 0
+        t0 = time.perf_counter()
+        for epoch in range(epochs):
+            loss = self.step(state, *batch_fn())
+            state.history.setdefault("loss", []).append(loss)
+            if eval_fn is not None and (epoch + 1) % eval_every == 0:
+                metric = float(eval_fn(state.params))
+                state.history.setdefault("metric", []).append(metric)
+                if metric > state.best_metric:
+                    state.best_metric = metric
+                    state.best_params = state.params
+                    bad = 0
+                else:
+                    bad += 1
+                if verbose:
+                    print(f"epoch {epoch + 1}: loss {loss:.4f} "
+                          f"metric {metric:.4f}")
+                if patience is not None and bad >= patience:
+                    break
+        state.history["seconds"] = time.perf_counter() - t0
+        return state
+
+
+def train_full_batch(loss_fn, params, batch_fn, epochs, lr=1e-3,
+                     weight_decay=0.0, eval_fn=None, eval_every=10,
+                     patience=None, verbose=False) -> TrainState:
+    trainer = Trainer(loss_fn, lr, weight_decay)
+    state = trainer.init(params)
+    return trainer.fit(state, batch_fn, epochs, eval_fn, eval_every,
+                       patience, verbose)

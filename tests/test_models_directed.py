@@ -269,3 +269,44 @@ class TestDiGCL:
                           method=DiGCL.batched_semi_loss)
         assert np.isfinite(np.asarray(out)).all()
         assert out.shape == (40,)  # padded to 4 batches of 10
+
+
+class TestDIGRACAccuracy:
+    def test_recovers_planted_clusters(self):
+        """Self-supervised imbalance training reaches high ARI on cyclic
+        DSBM when fed Hermitian spectral features."""
+        import optax
+        from sklearn.metrics import adjusted_rand_score
+
+        F = meta_graph_generation("cyclic", 3, 0.05, False)
+        A, labels = DSBM(150, 3, 0.1, F, rng=np.random.default_rng(0))
+        d = DirectedData(A=A, y=labels)
+        d.set_hermitian_features(k=3)
+        n = d.num_nodes
+        x = jnp.asarray(np.asarray(d.x, np.float32))
+        P_s = rw_norm_propagator(d.edge_index, d.edge_weight, n)
+        P_t = rw_norm_propagator(d.edge_index[[1, 0]], d.edge_weight, n)
+        A_dense = jnp.asarray(A.toarray().astype(np.float32))
+        imb = Prob_Imbalance_Loss(F)
+        model = DIGRAC_node_clustering(num_features=x.shape[1], hidden=32,
+                                       nclass=3, fill_value=0.5,
+                                       dropout=0.0, hop=2)
+        params = model.init(jax.random.PRNGKey(0), P_s, P_t, x)
+        tx = optax.adam(1e-2)
+        st = tx.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def lf(pp):
+                _, _, _, prob = model.apply(pp, P_s, P_t, x)
+                return imb(prob, A_dense, 3, "vol_sum", "sort")
+
+            l, g = jax.value_and_grad(lf)(p)
+            u, s = tx.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        for _ in range(600):
+            params, st, _ = step(params, st)
+        _, _, pred, _ = model.apply(params, P_s, P_t, x)
+        ari = adjusted_rand_score(labels, np.asarray(pred))
+        assert ari > 0.8, ari

@@ -1,0 +1,62 @@
+"""Native C++ tier: CSV parser + coalescer parity with pure Python."""
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_geometric_signed_directed_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib_ok():
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+
+def test_parse_matches_python(tmp_path, lib_ok):
+    lines = ["alice,bob,1.5", "bob,carol,-2", "alice,carol,3",
+             "dave,alice,-0.5", "bob,alice,2"]
+    p = tmp_path / "edges.csv"
+    p.write_text("\n".join(lines) + "\n")
+    rows, cols, w, n = native.parse_signed_csv(str(p))
+
+    node_map = {}
+    exp = []
+    for line in lines:
+        a, b, ww = line.split(",")
+        for t in (a, b):
+            if t not in node_map:
+                node_map[t] = len(node_map)
+        exp.append((node_map[a], node_map[b], float(ww)))
+    exp = np.asarray(exp)
+    assert n == len(node_map)
+    np.testing.assert_array_equal(rows, exp[:, 0])
+    np.testing.assert_array_equal(cols, exp[:, 1])
+    np.testing.assert_allclose(w, exp[:, 2])
+
+
+def test_parse_real_bitcoin(lib_ok):
+    path = "/root/reference/datasets/bitcoin_alpha.csv"
+    if not os.path.isfile(path):
+        pytest.skip("bundle missing")
+    rows, cols, w, n = native.parse_signed_csv(path)
+    assert n == 3783
+    assert len(rows) == len(cols) == len(w)
+    assert (w > 0).sum() > 20000 and (w < 0).sum() > 1000
+
+
+def test_coalesce_matches_numpy(lib_ok):
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 50, 500)
+    cols = rng.integers(0, 50, 500)
+    w = rng.standard_normal(500).astype(np.float32)
+    out = native.coalesce(rows, cols, w, 50)
+    r2, c2, w2 = out
+
+    import scipy.sparse as sp
+    S = sp.coo_matrix((w, (rows, cols)), shape=(50, 50)).tocsr()
+    S.sum_duplicates()
+    S = S.tocoo()
+    np.testing.assert_array_equal(r2, S.row)
+    np.testing.assert_array_equal(c2, S.col)
+    np.testing.assert_allclose(w2, S.data, rtol=1e-5)
