@@ -183,6 +183,99 @@ def Citeseer(root: Optional[str] = None) -> DirectedData:
     return _citation("citeseer.npz", root)
 
 
+_GEOM_GCN_URL = ("https://raw.githubusercontent.com/graphdml-uiuc-jlu/"
+                 "geom-gcn/f1fc0d14b3b019c562737240d06ec83b07d16a8f")
+
+
+def _fetch_url(url: str, relpath: str, root: Optional[str]) -> str:
+    cands = ([root] if root else []) + _SEARCH_PATHS
+    for base in cands:
+        if base and os.path.isfile(os.path.join(base, relpath)):
+            return os.path.join(base, relpath)
+    target = os.path.join(root or "datasets", relpath)
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    try:
+        urllib.request.urlretrieve(url, target)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"{relpath} not found locally and download from {url} failed "
+            f"({e}).") from e
+    return target
+
+
+def _geom_gcn(name: str, root: Optional[str]) -> DirectedData:
+    """geom-gcn format: out1_node_feature_label.txt + out1_graph_edges.txt
+    + 10 fixed split npz files (WebKB / WikipediaNetwork; reference
+    WikipediaNetwork.py:63-92)."""
+    nf = _fetch_url(f"{_GEOM_GCN_URL}/new_data/{name}/"
+                    "out1_node_feature_label.txt",
+                    f"{name}/out1_node_feature_label.txt", root)
+    ef = _fetch_url(f"{_GEOM_GCN_URL}/new_data/{name}/out1_graph_edges.txt",
+                    f"{name}/out1_graph_edges.txt", root)
+    with open(nf) as f:
+        rows = f.read().split("\n")[1:-1]
+    x = np.asarray([[float(v) for v in r.split("\t")[1].split(",")]
+                    for r in rows], np.float32)
+    y = np.asarray([int(r.split("\t")[2]) for r in rows], np.int64)
+    with open(ef) as f:
+        rows = f.read().split("\n")[1:-1]
+    edges = np.asarray([[int(v) for v in r.split("\t")] for r in rows],
+                       np.int64).T
+    # coalesce duplicates, unweighted
+    keys = np.unique(edges[0] * len(y) + edges[1])
+    edge_index = np.stack([keys // len(y), keys % len(y)])
+    data = DirectedData(x=x, edge_index=edge_index, y=y)
+    masks = {"train": [], "val": [], "test": []}
+    try:
+        for i in range(10):
+            sf = _fetch_url(
+                f"{_GEOM_GCN_URL}/splits/{name}_split_0.6_0.2_{i}.npz",
+                f"{name}/{name}_split_0.6_0.2_{i}.npz", root)
+            with np.load(sf) as tmp:
+                masks["train"].append(tmp["train_mask"].astype(bool))
+                masks["val"].append(tmp["val_mask"].astype(bool))
+                masks["test"].append(tmp["test_mask"].astype(bool))
+        data.train_mask = np.stack(masks["train"], 1)
+        data.val_mask = np.stack(masks["val"], 1)
+        data.test_mask = np.stack(masks["test"], 1)
+    except FileNotFoundError:
+        node_class_split(data, train_size_per_class=0.6,
+                         val_size_per_class=0.2, data_split=10)
+    return data
+
+
+def WebKB(name: str = "Texas", root: Optional[str] = None) -> DirectedData:
+    assert name.lower() in ("cornell", "texas", "wisconsin")
+    return _geom_gcn(name.lower(), root)
+
+
+def WikipediaNetwork(name: str, root: Optional[str] = None) -> DirectedData:
+    assert name.lower() in ("chameleon", "squirrel")
+    return _geom_gcn(name.lower(), root)
+
+
+def WikiCS(root: Optional[str] = None) -> DirectedData:
+    """JSON loader (reference WikiCS.py:44-73)."""
+    import json
+    from itertools import chain
+
+    path = _fetch_url("https://github.com/pmernyei/wiki-cs-dataset/raw/"
+                      "master/dataset/data.json", "wikics/data.json", root)
+    with open(path) as f:
+        raw = json.load(f)
+    x = np.asarray(raw["features"], np.float32)
+    y = np.asarray(raw["labels"], np.int64)
+    edges = list(chain(*[[(i, j) for j in js]
+                         for i, js in enumerate(raw["links"])]))
+    edge_index = np.asarray(edges, np.int64).T
+    data = DirectedData(x=x, edge_index=edge_index, y=y)
+    data.train_mask = np.asarray(raw["train_masks"], bool).T
+    data.val_mask = np.asarray(raw["val_masks"], bool).T
+    data.test_mask = np.asarray(raw["test_mask"], bool)
+    data.stopping_mask = np.asarray(raw["stopping_masks"], bool).T
+    return data
+
+
 def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
                             name: str = "Texas",
                             train_size=None, val_size=None, test_size=None,
@@ -200,11 +293,12 @@ def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
         data = Telegram(root)
     elif lds in ("blog", "wikitalk", "migration") or lds[:8] == "lead_lag":
         data = DIGRAC_real_data(name=dataset, root=root)
-    elif lds in ("webkb", "wikics", "wikipedianetwork"):
-        raise NotImplementedError(
-            f"{dataset} requires downloading third-party archives, which "
-            "needs network access; place a preprocessed npz under "
-            "$PGSD_TPU_DATA instead.")
+    elif lds == "webkb":
+        data = WebKB(name=name, root=root)
+    elif lds == "wikics":
+        data = WikiCS(root=root)
+    elif lds == "wikipedianetwork":
+        data = WikipediaNetwork(name=name, root=root)
     else:
         raise NameError("Please input the correct data set name instead of "
                         f"{dataset}!")

@@ -35,6 +35,25 @@ from .segment import segment_sum
 # Graphs at or below this many nodes use the dense-MXU tier by default.
 _DENSE_AUTO_MAX_NODES = 8192
 
+# MXU precision for dense-tier adjacency matmuls.  HIGHEST (multi-pass
+# f32-accurate) is the default because allclose parity with the f32
+# reference is a stated target (BASELINE.md); benchmarks can trade it via
+# set_matmul_precision("default"|"high"|"highest").
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p) -> None:
+    global _MATMUL_PRECISION
+    if isinstance(p, str):
+        p = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}[p]
+    _MATMUL_PRECISION = p
+
+
+def get_matmul_precision():
+    return _MATMUL_PRECISION
+
 
 def spmm_coo(A: COO, x: jnp.ndarray) -> jnp.ndarray:
     """out[row] += val * x[col]  — i.e. ``A @ x`` for 2-D x [M, F]."""
@@ -66,12 +85,18 @@ class Propagator:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.mode == "dense":
-            # Full-f32 MXU passes: adjacency matvecs feed Chebyshev
-            # recurrences and cut losses where bf16 drift compounds, and
-            # allclose parity with the f32 reference is a stated target
-            # (BASELINE.md).  Still rides the MXU (3-pass bf16 on TPU).
+            if self.dense.dtype == jnp.bfloat16:
+                # bandwidth-optimized storage: the [N, N] operator is the
+                # bytes bottleneck of the dense tier; bf16 halves the HBM
+                # traffic per apply while accumulating in f32 on the MXU.
+                return jnp.dot(self.dense, x.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32
+                               ).astype(x.dtype)
+            # Full-f32 MXU passes by default: adjacency matvecs feed
+            # Chebyshev recurrences and cut losses where bf16 drift
+            # compounds (see set_matmul_precision).
             return jnp.dot(self.dense, x, preferred_element_type=x.dtype,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=_MATMUL_PRECISION)
         if self.mode == "bsr":
             from .pallas.bsr_spmm import bsr_spmm
 
@@ -94,11 +119,18 @@ def make_propagator(
     return propagator_from_coo(A, mode=mode)
 
 
-def propagator_from_coo(A: COO, mode: str = "auto") -> Propagator:
+def propagator_from_coo(A: COO, mode: str = "auto",
+                        dense_dtype=None) -> Propagator:
+    """``dense_dtype=jnp.bfloat16`` stores the dense operator in bf16
+    (half the HBM traffic, f32 accumulation) — for throughput-focused
+    training where strict f32 parity isn't required."""
     if mode == "auto":
         mode = "dense" if max(A.num_nodes, A.num_cols) <= _DENSE_AUTO_MAX_NODES else "segment"
     if mode == "dense":
-        return Propagator(coo=None, dense=A.to_dense(), bsr=None, mode="dense")
+        dense = A.to_dense()
+        if dense_dtype is not None:
+            dense = dense.astype(dense_dtype)
+        return Propagator(coo=None, dense=dense, bsr=None, mode="dense")
     if mode == "bsr":
         from .pallas.bsr_spmm import bsr_from_coo
 

@@ -7,5 +7,16 @@ thin and every model family trains the same way on TPU.
 """
 
 from .trainer import Trainer, TrainState, train_full_batch
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .profiling import edges_per_second, time_fn, trace
 
-__all__ = ["Trainer", "TrainState", "train_full_batch"]
+__all__ = [
+    "Trainer",
+    "TrainState",
+    "train_full_batch",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "edges_per_second",
+    "time_fn",
+    "trace",
+]

@@ -70,3 +70,44 @@ class TestDirectedLoaders:
     def test_bad_name_raises(self):
         with pytest.raises(NameError):
             load_directed_real_data("nonexistent_dataset")
+
+
+class TestGeomGCNLoaders:
+    def test_webkb_from_local_files(self, tmp_path):
+        # synthesize the geom-gcn raw format locally
+        d = tmp_path / "texas"
+        d.mkdir()
+        (d / "out1_node_feature_label.txt").write_text(
+            "node feat label\n"
+            "0\t1,0,1\t0\n1\t0,1,0\t1\n2\t1,1,0\t0\n3\t0,0,1\t1\n")
+        (d / "out1_graph_edges.txt").write_text(
+            "src dst\n0\t1\n1\t2\n2\t3\n0\t1\n")
+        from pytorch_geometric_signed_directed_tpu.data.load_real import WebKB
+
+        data = WebKB("texas", root=str(tmp_path))
+        assert data.x.shape == (4, 3)
+        assert data.y.tolist() == [0, 1, 0, 1]
+        assert data.edge_index.shape == (2, 3)  # duplicate coalesced
+        assert data.train_mask.shape[0] == 4
+
+    def test_wikics_from_local_json(self, tmp_path):
+        import json
+
+        d = tmp_path / "wikics"
+        d.mkdir()
+        payload = {
+            "features": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+            "labels": [0, 1, 0],
+            "links": [[1], [2], [0]],
+            "train_masks": [[True, False, False]] * 2,
+            "val_masks": [[False, True, False]] * 2,
+            "test_mask": [False, False, True],
+            "stopping_masks": [[False, False, True]] * 2,
+        }
+        (d / "data.json").write_text(json.dumps(payload))
+        from pytorch_geometric_signed_directed_tpu.data.load_real import WikiCS
+
+        data = WikiCS(root=str(tmp_path))
+        assert data.x.shape == (3, 2)
+        assert data.edge_index.shape == (2, 3)
+        assert data.train_mask.shape == (3, 2)

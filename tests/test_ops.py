@@ -147,3 +147,36 @@ class TestSpMM:
         x = jnp.ones((40, 4))
         f(P, x)
         f(P, 2 * x)  # same shape: must not retrace (smoke: no error)
+
+
+class TestReorder:
+    def test_rcm_reduces_block_count(self):
+        from pytorch_geometric_signed_directed_tpu.ops.reorder import (
+            apply_permutation, block_density, rcm_permutation)
+        # banded graph scrambled by a random permutation
+        rng = np.random.default_rng(0)
+        n = 1024
+        base_row = np.arange(n - 1)
+        base_col = base_row + 1
+        extra = rng.integers(0, 20, (2, 2000))
+        row = np.concatenate([base_row, extra[0] + np.arange(2000) % (n - 20)])
+        col = np.concatenate([base_col, extra[1] + np.arange(2000) % (n - 20)])
+        scram = rng.permutation(n)
+        srow, scol = scram[row], scram[col]
+        before = block_density(srow, scol, n)
+        perm = rcm_permutation(srow, scol, n)
+        nrow, ncol, inv = apply_permutation(srow, scol, perm)
+        after = block_density(nrow, ncol, n)
+        assert after < before * 0.5
+        # relabeling is a bijection consistent with perm
+        assert (inv[perm] == np.arange(n)).all()
+
+    def test_matmul_precision_knob(self):
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+            get_matmul_precision, set_matmul_precision)
+        old = get_matmul_precision()
+        try:
+            set_matmul_precision("default")
+            assert get_matmul_precision() == jax.lax.Precision.DEFAULT
+        finally:
+            set_matmul_precision(old)

@@ -1,0 +1,79 @@
+"""Trainer harness, checkpoint round-trip, profiling timer."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pytorch_geometric_signed_directed_tpu.train import (
+    Trainer,
+    edges_per_second,
+    restore_checkpoint,
+    save_checkpoint,
+    time_fn,
+)
+
+
+class _Lin(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(1)(x)
+
+
+def _setup():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 4)),
+                    jnp.float32)
+    y = (x @ jnp.asarray([1.0, -2.0, 0.5, 0.0]))[:, None]
+    model = _Lin()
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss_fn(p):
+        return jnp.mean((model.apply(p, x) - y) ** 2)
+
+    return model, params, loss_fn
+
+
+def test_trainer_converges():
+    model, params, loss_fn = _setup()
+    trainer = Trainer(loss_fn, lr=1e-1)
+    state = trainer.fit(trainer.init(params), tuple, epochs=200)
+    assert state.history["loss"][-1] < 1e-2
+    assert state.step == 200
+
+
+def test_early_stopping():
+    model, params, loss_fn = _setup()
+    trainer = Trainer(loss_fn, lr=1e-1)
+    calls = []
+
+    def eval_fn(p):
+        calls.append(1)
+        return -float(loss_fn(p))  # improves then saturates
+
+    state = trainer.fit(trainer.init(params), tuple, epochs=5000,
+                        eval_fn=eval_fn, eval_every=10, patience=3)
+    assert state.step < 5000
+    assert state.best_params is not None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, params, loss_fn = _setup()
+    trainer = Trainer(loss_fn, lr=1e-1)
+    state = trainer.fit(trainer.init(params), tuple, epochs=20)
+    target = save_checkpoint(str(tmp_path / "ckpt"), state)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), state)
+    assert restored.step == state.step
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # resume training from the restored state
+    loss = trainer.step(restored)
+    assert np.isfinite(loss)
+
+
+def test_time_fn_and_edges_per_second():
+    f = jax.jit(lambda x: x * 2)
+    x = jnp.ones((128, 128))
+    dt = time_fn(f, x, iters=5)
+    assert dt > 0
+    eps = edges_per_second(f, 1000, x, iters=5)
+    assert eps > 0
