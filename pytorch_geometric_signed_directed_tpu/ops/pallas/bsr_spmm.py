@@ -81,11 +81,29 @@ def _bsr_arrays(row, col, val, num_rows, num_cols):
     return blocks, (all_bids // cb).astype(np.int32), (all_bids % cb).astype(np.int32)
 
 
+# Scalar-prefetch operands live in scoped SMEM (~1 MB); block id arrays
+# must stay well under that, and the dense blocks must fit HBM.
+_MAX_BLOCKS = 100_000
+
+
 def bsr_from_coo(A, with_transpose: bool = True) -> BSR:
-    """Host-side conversion from ops.coo.COO (uses only valid entries)."""
+    """Host-side conversion from ops.coo.COO (uses only valid entries).
+
+    BSR pays 128x128 dense work per touched block: it is only profitable
+    when edges are concentrated (use ops.reorder.rcm_permutation /
+    block_density to check).  Graphs whose edges touch more than
+    ~100k blocks are rejected — use the segment tier there.
+    """
     row = np.asarray(A.row)[: A.nnz].astype(np.int64)
     col = np.asarray(A.col)[: A.nnz].astype(np.int64)
     val = np.asarray(A.val)[: A.nnz].astype(np.float32)
+    cb = _round_up(max(A.num_cols, 1), BLOCK) // BLOCK
+    n_blocks = len(np.unique((row // BLOCK) * cb + (col // BLOCK)))
+    if n_blocks > _MAX_BLOCKS:
+        raise ValueError(
+            f"graph touches {n_blocks} 128x128 blocks (> {_MAX_BLOCKS}); "
+            "BSR would not fit on-chip resources — reorder the graph "
+            "(ops.reorder) or use the segment tier")
     blocks, brows, bcols = _bsr_arrays(row, col, val, A.num_nodes, A.num_cols)
     t = None
     if with_transpose:

@@ -13,6 +13,7 @@ from .sharded import (
     shard_propagator,
     shard_magnet_laplacian,
 )
+from .edge_spmm import PartitionedCOO, partition_coo, place, sharded_spmm
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,8 @@ __all__ = [
     "replicate",
     "shard_propagator",
     "shard_magnet_laplacian",
+    "PartitionedCOO",
+    "partition_coo",
+    "place",
+    "sharded_spmm",
 ]

@@ -1,0 +1,107 @@
+"""Explicit edge-partitioned SpMM under shard_map (owner-computes).
+
+The GSPMD path (parallel.sharded) lets XLA choose the collectives; this
+module is the hand-placed version used for the scaling story:
+
+  * Host-side, edges are sorted by destination row and split into one
+    contiguous chunk per device such that device d owns all edges whose
+    destination row falls in its row block [d*rows_per, (d+1)*rows_per).
+  * Each device's chunk is padded to the fleet-wide max (static shapes).
+  * Inside shard_map, each device gathers source features from the
+    replicated activation matrix and segment-sums into ONLY its own row
+    block — the aggregation itself needs no communication at all; the
+    single collective per layer is the all-gather that re-replicates the
+    row-sharded output, which XLA schedules over ICI.
+
+Scaling behaviour: compute per device ~ E/D, communication per layer
+~ N*F (independent of E), so efficiency approaches 1 as average degree
+grows — the regime every headline dataset is in.
+"""
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+from flax import struct
+
+from ..ops.coo import COO
+from ..ops.segment import segment_sum
+
+
+@struct.dataclass
+class PartitionedCOO:
+    """Per-device edge chunks, stacked on a leading device axis.
+
+    row holds LOCAL row ids (global row - device_row_offset); padding
+    entries use rows_per_device (dropped by segment ops).
+    """
+
+    row: jnp.ndarray  # [D, E_max] int32, local ids
+    col: jnp.ndarray  # [D, E_max] int32, global ids
+    val: jnp.ndarray  # [D, E_max] float
+    num_nodes: int = struct.field(pytree_node=False)
+    num_cols: int = struct.field(pytree_node=False)
+    rows_per_device: int = struct.field(pytree_node=False)
+    n_devices: int = struct.field(pytree_node=False)
+
+
+def partition_coo(A: COO, n_devices: int) -> PartitionedCOO:
+    """Host-side 1-D row partition of a (row-sorted) COO."""
+    row = np.asarray(A.row)[: A.nnz]
+    col = np.asarray(A.col)[: A.nnz]
+    val = np.asarray(A.val)[: A.nnz]
+    n = A.num_nodes
+    rows_per = -(-n // n_devices)
+    owner = row // rows_per
+    counts = np.bincount(owner, minlength=n_devices)
+    e_max = max(int(counts.max()), 1)
+    e_max = ((e_max + 7) // 8) * 8
+    prow = np.full((n_devices, e_max), rows_per, np.int32)
+    pcol = np.zeros((n_devices, e_max), np.int32)
+    pval = np.zeros((n_devices, e_max), val.dtype)
+    for d in range(n_devices):
+        m = owner == d
+        k = int(m.sum())
+        prow[d, :k] = row[m] - d * rows_per
+        pcol[d, :k] = col[m]
+        pval[d, :k] = val[m]
+    return PartitionedCOO(
+        row=jnp.asarray(prow), col=jnp.asarray(pcol), val=jnp.asarray(pval),
+        num_nodes=n, num_cols=A.num_cols, rows_per_device=rows_per,
+        n_devices=n_devices,
+    )
+
+
+def place(pcoo: PartitionedCOO, mesh: Mesh,
+          axis: str = "graph") -> PartitionedCOO:
+    s = NamedSharding(mesh, P(axis, None))
+    return PartitionedCOO(
+        row=jax.device_put(pcoo.row, s), col=jax.device_put(pcoo.col, s),
+        val=jax.device_put(pcoo.val, s), num_nodes=pcoo.num_nodes,
+        num_cols=pcoo.num_cols, rows_per_device=pcoo.rows_per_device,
+        n_devices=pcoo.n_devices,
+    )
+
+
+def sharded_spmm(pcoo: PartitionedCOO, x: jnp.ndarray, mesh: Mesh,
+                 axis: str = "graph") -> jnp.ndarray:
+    """A @ x with owner-computes aggregation; returns the replicated
+    [num_nodes, F] result (all-gather over ``axis`` is the only
+    collective)."""
+    rows_per = pcoo.rows_per_device
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                       P(None, None)),
+             out_specs=P(axis, None))
+    def local_agg(row, col, val, x):
+        row, col, val = row[0], col[0], val[0]
+        msgs = val[:, None] * x[col]
+        return segment_sum(msgs, row, rows_per,
+                           indices_are_sorted=True)[None][0]
+
+    out = local_agg(pcoo.row, pcoo.col, pcoo.val, x)
+    return out[: pcoo.num_nodes]

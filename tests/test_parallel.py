@@ -94,3 +94,48 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+class TestEdgePartitionedSpMM:
+    def test_matches_single_device(self, graph):
+        from pytorch_geometric_signed_directed_tpu.ops import build_coo
+        from pytorch_geometric_signed_directed_tpu.parallel import (
+            partition_coo, place, sharded_spmm)
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import spmm_coo
+
+        edge_index, w, _ = graph
+        n = 128
+        A = build_coo(edge_index[0], edge_index[1], w, n,
+                      sum_duplicates=True)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((n, 8)).astype(
+                np.float32))
+        ref = np.asarray(spmm_coo(A, x))
+
+        mesh = make_mesh(8)
+        pcoo = place(partition_coo(A, 8), mesh)
+        with mesh:
+            out = np.asarray(jax.jit(
+                lambda p, v: sharded_spmm(p, v, mesh))(pcoo, x))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_uneven_rows(self):
+        from pytorch_geometric_signed_directed_tpu.ops import build_coo
+        from pytorch_geometric_signed_directed_tpu.parallel import (
+            partition_coo, place, sharded_spmm)
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import spmm_coo
+
+        rng = np.random.default_rng(7)
+        n = 101  # not divisible by 8
+        row = rng.integers(0, n, 700)
+        col = rng.integers(0, n, 700)
+        val = rng.standard_normal(700).astype(np.float32)
+        A = build_coo(row, col, val, n, sum_duplicates=True)
+        x = jnp.asarray(rng.standard_normal((n, 5)).astype(np.float32))
+        ref = np.asarray(spmm_coo(A, x))
+        mesh = make_mesh(8)
+        pcoo = place(partition_coo(A, 8), mesh)
+        with mesh:
+            out = np.asarray(jax.jit(
+                lambda p, v: sharded_spmm(p, v, mesh))(pcoo, x))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
