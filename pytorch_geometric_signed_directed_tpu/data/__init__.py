@@ -17,6 +17,12 @@ from .load_real import (
     SSSNET_real_data,
     MSGNN_real_data,
     DIGRAC_real_data,
+    Citeseer,
+    Cora_ml,
+    Telegram,
+    WebKB,
+    WikiCS,
+    WikipediaNetwork,
 )
 
 __all__ = [
@@ -33,4 +39,10 @@ __all__ = [
     "SSSNET_real_data",
     "MSGNN_real_data",
     "DIGRAC_real_data",
+    "Citeseer",
+    "Cora_ml",
+    "Telegram",
+    "WebKB",
+    "WikiCS",
+    "WikipediaNetwork",
 ]

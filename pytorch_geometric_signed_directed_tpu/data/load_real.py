@@ -278,6 +278,7 @@ def WikiCS(root: Optional[str] = None) -> DirectedData:
 
 def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
                             name: str = "Texas",
+                            transform=None, pre_transform=None,
                             train_size=None, val_size=None, test_size=None,
                             seed_size=None, train_size_per_class=None,
                             val_size_per_class=None, test_size_per_class=None,
@@ -302,9 +303,13 @@ def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
     else:
         raise NameError("Please input the correct data set name instead of "
                         f"{dataset}!")
+    if pre_transform is not None:
+        data = pre_transform(data) or data
     directed_dataset = DirectedData(edge_index=data.edge_index,
                                     edge_weight=data.edge_weight,
                                     init_data=data)
+    if transform is not None:
+        directed_dataset = transform(directed_dataset) or directed_dataset
     if train_size is not None or train_size_per_class is not None:
         directed_dataset.node_split(
             train_size=train_size, val_size=val_size, test_size=test_size,
@@ -317,6 +322,7 @@ def load_directed_real_data(dataset: str = "WebKB", root: str = "./",
 
 
 def load_signed_real_data(dataset: str = "epinions", root: str = "./",
+                          transform=None, pre_transform=None,
                           train_size=None, val_size=None, test_size=None,
                           seed_size=None, train_size_per_class=None,
                           val_size_per_class=None, test_size_per_class=None,
@@ -337,8 +343,12 @@ def load_signed_real_data(dataset: str = "epinions", root: str = "./",
     else:
         raise NameError("Please input the correct data set name instead of "
                         f"{dataset}!")
+    if pre_transform is not None:
+        data = pre_transform(data) or data
     signed_dataset = SignedData(edge_index=data.edge_index,
                                 edge_weight=data.edge_weight, init_data=data)
+    if transform is not None:
+        signed_dataset = transform(signed_dataset) or signed_dataset
     if train_size is not None or train_size_per_class is not None:
         signed_dataset.node_split(
             train_size=train_size, val_size=val_size, test_size=test_size,

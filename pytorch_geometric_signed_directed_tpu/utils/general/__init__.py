@@ -7,6 +7,11 @@ from .evaluation import (
     link_sign_prediction_logistic_function,
 )
 from ...graph import in_out_degree
+from ...spectral import magnetic_signed_laplacian as get_magnetic_signed_Laplacian
+from ...ops.coo import coo_from_scipy as scipy_sparse_to_jax_coo
+
+# the reference's torch-specific converter; here scipy -> padded COO pytree
+scipy_sparse_to_torch_sparse = scipy_sparse_to_jax_coo
 
 __all__ = [
     "node_class_split",
@@ -17,4 +22,7 @@ __all__ = [
     "link_sign_direction_prediction_logistic_function",
     "link_sign_prediction_logistic_function",
     "in_out_degree",
+    "get_magnetic_signed_Laplacian",
+    "scipy_sparse_to_jax_coo",
+    "scipy_sparse_to_torch_sparse",
 ]

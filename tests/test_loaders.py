@@ -111,3 +111,17 @@ class TestGeomGCNLoaders:
         assert data.x.shape == (3, 2)
         assert data.edge_index.shape == (2, 3)
         assert data.train_mask.shape == (3, 2)
+
+
+@needs_bundle
+def test_transform_hooks():
+    calls = []
+
+    def transform(data):
+        calls.append("t")
+        data.extra_attr = 42
+        return data
+
+    d = load_directed_real_data("telegram", transform=transform)
+    assert calls == ["t"]
+    assert d.extra_attr == 42

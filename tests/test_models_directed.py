@@ -310,3 +310,33 @@ class TestDIGRACAccuracy:
         _, _, pred, _ = model.apply(params, P_s, P_t, x)
         ari = adjusted_rand_score(labels, np.asarray(pred))
         assert ari > 0.8, ari
+
+
+class TestDropoutTraining:
+    def test_magnet_trains_with_dropout_rng(self):
+        d = create_mock_data(seed=8)
+        n = d.num_nodes
+        x = in_out_degree(d.edge_index, n, edge_weight=d.edge_weight)
+        lap = magnet_propagators(d.edge_index, d.edge_weight, q=0.25,
+                                 num_nodes=n)
+        model = MagNet_node_classification(
+            num_features=2, hidden=8, K=1, label_dim=NUM_CLASSES,
+            activation=True, dropout=0.5)
+        params = model.init(jax.random.PRNGKey(0), x, x, lap)
+        out_train1 = model.apply(params, x, x, lap, True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+        out_train2 = model.apply(params, x, x, lap, True,
+                                 rngs={"dropout": jax.random.PRNGKey(2)})
+        out_eval = model.apply(params, x, x, lap, False)
+        # dropout active in training mode, deterministic in eval
+        assert not np.allclose(np.asarray(out_train1),
+                               np.asarray(out_train2))
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, x, x, lap)),
+            np.asarray(out_eval))
+        # and gradients flow in training mode
+        g = jax.grad(lambda p: model.apply(
+            p, x, x, lap, True,
+            rngs={"dropout": jax.random.PRNGKey(3)}).sum())(params)
+        assert np.isfinite(
+            np.asarray(jax.tree.leaves(g)[0])).all()

@@ -139,3 +139,11 @@ class TestEdgePartitionedSpMM:
             out = np.asarray(jax.jit(
                 lambda p, v: sharded_spmm(p, v, mesh))(pcoo, x))
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[1] == 3
