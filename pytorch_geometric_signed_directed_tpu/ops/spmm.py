@@ -3,6 +3,10 @@
 Three execution tiers, chosen statically at preprocessing time:
 
   * ``segment``  — gather + sorted ``segment_sum``.  General, any size.
+  * ``mxu``      — Pallas scatter-as-matmul kernel (ops/pallas/scatter_mxu):
+                   the sorted segment-sum becomes on-the-fly one-hot
+                   matmuls on the MXU; ~2x the segment tier on TPU with
+                   exact f32 accumulation.  Auto default for large graphs.
   * ``dense``    — materialise A once and ride the MXU with a plain matmul.
                    For every headline dataset in the reference
                    (cora_ml N=2995, telegram N=245, bitcoin_otc N=5881 —
@@ -74,6 +78,7 @@ class Propagator:
     dense: Optional[jnp.ndarray]
     bsr: Optional[object]  # ops.pallas.bsr_spmm.BSR
     mode: str = struct.field(pytree_node=False)
+    mxu: Optional[object] = None  # ops.pallas.scatter_mxu.MXUCoo
 
     @property
     def num_nodes(self) -> int:
@@ -81,6 +86,8 @@ class Propagator:
             return self.dense.shape[0]
         if self.mode == "bsr":
             return self.bsr.num_rows
+        if self.mode == "mxu":
+            return self.mxu.plan.num_rows
         return self.coo.num_nodes
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -101,6 +108,10 @@ class Propagator:
             from .pallas.bsr_spmm import bsr_spmm
 
             return bsr_spmm(self.bsr, x)
+        if self.mode == "mxu":
+            from .pallas.scatter_mxu import mxu_spmm
+
+            return mxu_spmm(self.mxu, x)
         return spmm_coo(self.coo, x)
 
 
@@ -125,7 +136,11 @@ def propagator_from_coo(A: COO, mode: str = "auto",
     (half the HBM traffic, f32 accumulation) — for throughput-focused
     training where strict f32 parity isn't required."""
     if mode == "auto":
-        mode = "dense" if max(A.num_nodes, A.num_cols) <= _DENSE_AUTO_MAX_NODES else "segment"
+        # small graphs ride the dense MXU tier; larger ones use the Pallas
+        # scatter-as-matmul kernel (~2x the XLA segment tier on TPU, exact
+        # f32) — the plain segment tier remains available explicitly
+        mode = ("dense" if max(A.num_nodes, A.num_cols)
+                <= _DENSE_AUTO_MAX_NODES else "mxu")
     if mode == "dense":
         dense = A.to_dense()
         if dense_dtype is not None:
@@ -135,6 +150,11 @@ def propagator_from_coo(A: COO, mode: str = "auto",
         from .pallas.bsr_spmm import bsr_from_coo
 
         return Propagator(coo=None, dense=None, bsr=bsr_from_coo(A), mode="bsr")
+    if mode == "mxu":
+        from .pallas.scatter_mxu import mxu_from_coo
+
+        return Propagator(coo=None, dense=None, bsr=None,
+                          mxu=mxu_from_coo(A), mode="mxu")
     return Propagator(coo=A, dense=None, bsr=None, mode="segment")
 
 

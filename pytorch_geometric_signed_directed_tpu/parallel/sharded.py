@@ -54,6 +54,11 @@ def shard_propagator(prop: Propagator, mesh: Mesh,
             nnz=prop.coo.nnz,
         )
         return Propagator(coo=coo, dense=None, bsr=None, mode="segment")
+    if prop.mode == "mxu":
+        raise ValueError(
+            "mxu-tier propagators are single-chip; for multi-chip use "
+            "parallel.partition_coo + sharded_spmm (owner-computes) or the "
+            "segment/dense tiers")
     if prop.mode == "bsr":
         bsr = prop.bsr
         bs = NamedSharding(mesh, P(axis, None, None))
