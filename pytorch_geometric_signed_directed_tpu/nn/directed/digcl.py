@@ -32,12 +32,18 @@ class _GCNConv(nn.Module):
                                  (self.out_channels,))
 
 
-def _activation(name: str):
-    return {
-        "relu": nn.relu,
-        "prelu": nn.relu,  # PReLU's slope parameter init is 0.25; close to relu
-        "rrelu": nn.leaky_relu,
-    }[name]
+class _PReLU(nn.Module):
+    """torch.nn.PReLU equivalent: one trainable slope, init 0.25."""
+
+    @nn.compact
+    def __call__(self, x):
+        slope = self.param("slope", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, slope * x)
+
+
+# torch RReLU samples the negative slope in [1/8, 1/3] during training and
+# uses the mean in eval; we use the mean slope throughout (deterministic).
+_RRELU_SLOPE = (1.0 / 8 + 1.0 / 3) / 2
 
 
 class DiGCL_Encoder(nn.Module):
@@ -49,7 +55,12 @@ class DiGCL_Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, P: Propagator):
         assert self.num_layers >= 2
-        act = _activation(self.activation)
+        if self.activation == "prelu":
+            act = _PReLU()
+        elif self.activation == "rrelu":
+            act = lambda v: nn.leaky_relu(v, _RRELU_SLOPE)
+        else:
+            act = nn.relu
         for _ in range(self.num_layers - 1):
             x = act(_GCNConv(2 * self.out_channels)(x, P))
         return act(_GCNConv(self.out_channels)(x, P))

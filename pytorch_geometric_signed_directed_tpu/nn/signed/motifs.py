@@ -101,6 +101,15 @@ def sdgnn_edge_lists(edge_index_s, num_nodes: int
                      for w, M in zip(_SDGNN_MASK_POS, mats))
     counts_neg = sum(w * _lookup(M, neg_u)
                      for w, M in zip(_SDGNN_MASK_NEG, mats))
+    # the reference's weight_dict is written pos-loop first then neg-loop
+    # (SDGNN.py:231-241), so a pair carrying both signs keeps only the
+    # neg-mask count — drop the pos entry for such pairs instead of summing
+    if len(pos_u) and len(neg_u):
+        pos_keys = pos_u[:, 0] * num_nodes + pos_u[:, 1]
+        neg_keys = neg_u[:, 0] * num_nodes + neg_u[:, 1]
+        keep = ~np.isin(pos_keys, neg_keys)
+        pos_u = pos_u[keep]
+        counts_pos = np.atleast_1d(counts_pos)[keep]
     row = np.concatenate([pos_u[:, 0], neg_u[:, 0]])
     col = np.concatenate([pos_u[:, 1], neg_u[:, 1]])
     val = np.concatenate([np.atleast_1d(counts_pos),

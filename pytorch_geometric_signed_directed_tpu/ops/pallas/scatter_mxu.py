@@ -47,9 +47,11 @@ class ScatterPlan:
     the full row id (num_rows marks padding) for the backward gather.
     """
 
-    local_rows: jnp.ndarray   # [num_chunks, chunk] int32 in [0, WINDOW]
+    local_rows: jnp.ndarray   # [num_chunks * (chunk/SUB), SUB] int32
     global_rows: jnp.ndarray  # [E2] int32 in [0, num_rows]
     win: jnp.ndarray          # [num_chunks] int32, non-decreasing
+    visited: jnp.ndarray      # [num_windows] bool; empty windows get no
+                              # chunks and are zeroed by an output mask
     num_rows: int = struct.field(pytree_node=False)
     num_windows: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)   # valid (unpadded)
@@ -57,6 +59,7 @@ class ScatterPlan:
 
 def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
     """row: sorted destination ids of the valid edges (host numpy)."""
+    assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
     row = np.asarray(row, np.int64)
     e = len(row)
     order = np.argsort(row, kind="stable")
@@ -65,11 +68,15 @@ def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
     num_windows = _round_up(max(num_rows, 1), WINDOW) // WINDOW
 
     perm_parts, lr_parts, gr_parts, win_ids = [], [], [], []
+    visited = np.zeros(num_windows, bool)
     start = 0
     for w in range(num_windows):
         end = start + int(np.searchsorted(win_of_edge[start:], w + 1))
         cnt = end - start
-        padded = _round_up(max(cnt, 1), chunk)
+        if cnt == 0:
+            continue  # no chunk; the output mask zeroes this window
+        visited[w] = True
+        padded = _round_up(cnt, chunk)
         idx = order[start:end]
         lr = np.full(padded, WINDOW, np.int32)
         gr = np.full(padded, num_rows, np.int32)
@@ -81,6 +88,12 @@ def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
         gr_parts.append(gr)
         win_ids.extend([w] * (padded // chunk))
         start = end
+    if not lr_parts:  # completely empty graph: one dummy padding chunk
+        visited[0] = False
+        perm_parts.append(np.full(chunk, -1, np.int64))
+        lr_parts.append(np.full(chunk, WINDOW, np.int32))
+        gr_parts.append(np.full(chunk, num_rows, np.int32))
+        win_ids.append(0)
 
     perm = np.concatenate(perm_parts)
     # [num_chunks * 8, SUB]: each grid step reads an (8, SUB)-aligned tile
@@ -89,6 +102,7 @@ def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
         local_rows=jnp.asarray(lr_all),
         global_rows=jnp.asarray(np.concatenate(gr_parts)),
         win=jnp.asarray(np.asarray(win_ids, np.int32)),
+        visited=jnp.asarray(visited),
         num_rows=num_rows, num_windows=num_windows, num_edges=e,
     )
     return plan, perm
@@ -117,7 +131,7 @@ def _kernel(win_ref, lr_ref, msgs_ref, out_ref):
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, SUB), 0)
     acc = jnp.zeros((WINDOW, msgs_ref.shape[1]), jnp.float32)
-    for a in range(CHUNK // SUB):
+    for a in range(lr_ref.shape[0]):  # chunk // SUB sub-tiles
         onehot = (rows == lr_ref[a][None, :]).astype(jnp.float32)
         # HIGHEST keeps msgs at full f32 through the MXU passes (the
         # one-hot operand is exact in any precision); the kernel is
@@ -129,16 +143,20 @@ def _kernel(win_ref, lr_ref, msgs_ref, out_ref):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_windows", "chunk", "interpret"))
+                   static_argnames=("num_windows", "interpret"))
 def _scatter_matmul(win, local_rows, msgs, num_windows: int,
-                    chunk: int = CHUNK, interpret: bool = False):
+                    interpret: bool = False):
     num_chunks = win.shape[0]
     f = msgs.shape[1]
+    # chunk geometry derived from the arrays themselves so a plan built
+    # with a non-default chunk size stays consistent with the block specs
+    sub_per_chunk = local_rows.shape[0] // num_chunks
+    chunk = sub_per_chunk * SUB
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((CHUNK // SUB, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
             pl.BlockSpec((chunk, f), lambda i, win: (i, 0)),
         ],
         out_specs=pl.BlockSpec((WINDOW, f), lambda i, win: (win[i], 0)),
@@ -171,7 +189,9 @@ def _scatter_forward(plan, msgs):
     out = _scatter_matmul(plan.win, plan.local_rows,
                           msgs.astype(jnp.float32), plan.num_windows,
                           interpret=jax.default_backend() != "tpu")
-    return out[: plan.num_rows, :f]
+    # zero the windows no chunk wrote (their buffers are uninitialized)
+    mask = jnp.repeat(plan.visited, WINDOW)[: plan.num_rows]
+    return jnp.where(mask[:, None], out[: plan.num_rows, :f], 0.0)
 
 
 def _fwd(plan, msgs):

@@ -183,6 +183,14 @@ def magnet_propagators(
     L_hat = 2 L / lambda_max − I, exactly the (edge_index, norm) pair the
     reference's MagNetConv.__norm__ caches (nn/directed/MagNetConv.py:100-120)
     — but frozen into MXU-ready Propagators once, ahead of jit.
+
+    Orientation subtlety: the reference's ``setdefault('flow',
+    'target_to_source')`` runs AFTER ``super().__init__`` (MagNetConv.py:47
+    vs :51, same in MSConv.py:45 vs :49) and is dead code, so PyG's default
+    flow applies and its propagate computes ``out[tgt] += norm * x[src]``
+    — i.e. the conv multiplies by L_hat^T.  L_re is symmetric, L_im is
+    antisymmetric, so matching the reference bit-for-bit means negating the
+    imaginary operator; we bake the transpose in here.
     """
     num_nodes = _maybe_num_nodes(edge_index, num_nodes)
     fn = magnetic_signed_laplacian if signed else magnetic_laplacian
@@ -198,7 +206,8 @@ def magnet_propagators(
         lambda_max = 2.0
 
     w_re = 2.0 * w_re / lambda_max
-    w_im = 2.0 * w_im / lambda_max
+    # minus: the conv applies L^T and L_im is antisymmetric (see docstring)
+    w_im = -2.0 * w_im / lambda_max
     # Extra self-loops of -1 on the real part: L_hat = 2L/lambda - I
     # (reference MagNetConv.py:110-111).
     loops = np.arange(num_nodes)
@@ -280,7 +289,9 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
     """Jit-safe rebuild of (L_hat_re, L_hat_im) for a (traced) phase q."""
     ang = 2.0 * jnp.pi * q * tmpl.theta
     re_vals = -tmpl.a_norm * jnp.cos(ang)
-    im_vals = -tmpl.a_norm * jnp.sin(ang)
+    # plus: L_im edge values are -a_norm*sin, and the conv applies L^T
+    # (antisymmetric imag part -> negate; see magnet_propagators docstring)
+    im_vals = tmpl.a_norm * jnp.sin(ang)
     if tmpl.mode == "dense":
         return (
             Propagator(coo=None, dense=re_vals, bsr=None, mode="dense"),

@@ -31,8 +31,15 @@ class Trainer:
                  weight_decay: float = 0.0, optimizer=None):
         self.loss_fn = loss_fn
         if optimizer is None:
-            optimizer = (optax.adamw(lr, weight_decay=weight_decay)
-                         if weight_decay else optax.adam(lr))
+            if weight_decay:
+                # coupled L2 like torch.optim.Adam(weight_decay=...): the
+                # decay joins the gradient BEFORE the Adam moments (the
+                # reference examples use this, not decoupled AdamW)
+                optimizer = optax.chain(
+                    optax.add_decayed_weights(weight_decay),
+                    optax.adam(lr))
+            else:
+                optimizer = optax.adam(lr)
         self.tx = optimizer
 
         def _step(params, opt_state, *batch):
@@ -51,6 +58,16 @@ class Trainer:
         state.step += 1
         return float(loss)
 
+    def step_async(self, state: TrainState, *batch):
+        """Like step() but returns the loss as a device array without a
+        host sync — keeps the device pipeline full (a per-step float()
+        costs a full host round-trip, which dominates on remote/tunneled
+        backends)."""
+        state.params, state.opt_state, loss = self._step(
+            state.params, state.opt_state, *batch)
+        state.step += 1
+        return loss
+
     def fit(self, state: TrainState, batch_fn: Callable[[], tuple],
             epochs: int, eval_fn: Optional[Callable] = None,
             eval_every: int = 10, patience: Optional[int] = None,
@@ -59,9 +76,11 @@ class Trainer:
         eval_fn(params) -> float metric (higher is better)."""
         bad = 0
         t0 = time.perf_counter()
+        raw_losses = []
         for epoch in range(epochs):
-            loss = self.step(state, *batch_fn())
-            state.history.setdefault("loss", []).append(loss)
+            # async: losses stay on device until the end of fit
+            loss = self.step_async(state, *batch_fn())
+            raw_losses.append(loss)
             if eval_fn is not None and (epoch + 1) % eval_every == 0:
                 metric = float(eval_fn(state.params))
                 state.history.setdefault("metric", []).append(metric)
@@ -76,6 +95,8 @@ class Trainer:
                           f"metric {metric:.4f}")
                 if patience is not None and bad >= patience:
                     break
+        state.history.setdefault("loss", []).extend(
+            float(l) for l in raw_losses)
         state.history["seconds"] = time.perf_counter() - t0
         return state
 

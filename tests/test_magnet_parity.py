@@ -16,9 +16,14 @@ from pytorch_geometric_signed_directed_tpu.spectral import magnet_propagators
 
 
 def reference_forward(L_re, L_im, x_real, x_imag, weight, bias):
-    """Verbatim 4-stream Chebyshev loop of the reference."""
+    """Verbatim 4-stream Chebyshev loop of the reference.
+
+    The reference's propagate applies L^T: its flow='target_to_source'
+    setdefault runs after super().__init__ (dead code), so PyG's default
+    source_to_target flow aggregates out[tgt] += norm * x[src].
+    """
     def prop(L, v):
-        return L @ v
+        return L.T @ v
 
     K1 = weight.shape[0]
     Tx_0_rr, Tx_0_ii = x_real, x_imag
@@ -70,11 +75,15 @@ def test_magnetconv_matches_reference_recurrence(K, mode):
     edge_index = np.stack([row, col])
 
     lap = magnet_propagators(edge_index, w, q=0.25, num_nodes=n, mode=mode)
-    # dense scaled Laplacians for the reference loop
-    lap_d = magnet_propagators(edge_index, w, q=0.25, num_nodes=n,
-                               mode="dense")
-    L_re = np.asarray(lap_d[0].dense, np.float64)
-    L_im = np.asarray(lap_d[1].dense, np.float64)
+    # raw (untransposed) scaled Laplacian for the reference loop
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnetic_laplacian)
+    ei_l, wre, wim = magnetic_laplacian(edge_index, w, "sym", n, 0.25)
+    L_re = np.zeros((n, n))
+    np.add.at(L_re, (ei_l[0], ei_l[1]), wre)
+    L_re -= np.eye(n)  # 2L/lambda - I with lambda = 2
+    L_im = np.zeros((n, n))
+    np.add.at(L_im, (ei_l[0], ei_l[1]), wim)
 
     x_re = rng.standard_normal((n, f_in)).astype(np.float32)
     x_im = rng.standard_normal((n, f_in)).astype(np.float32)

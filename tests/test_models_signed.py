@@ -249,3 +249,43 @@ class TestSSSNET:
         params = model.init(jax.random.PRNGKey(0), P_p, P_n, x, q_edges)
         out = model.apply(params, P_p, P_n, x, q_edges)
         assert out.shape == (20, 2)
+
+
+def test_sdgnn_dual_sign_pair_uses_neg_weight():
+    """A pair with both + and - edges keeps only the neg-mask triangle
+    count (reference weight_dict overwrite semantics)."""
+    from pytorch_geometric_signed_directed_tpu.nn.signed.motifs import (
+        sdgnn_edge_lists)
+
+    eis = np.array([
+        [0, 1, 1], [0, 1, -1],   # dual-sign pair
+        [0, 2, 1], [2, 1, 1],    # pos 2-path 0->2->1 (d1_1 for (0,1))
+        [0, 3, -1], [3, 1, -1],  # neg 2-path (d1_4)
+    ])
+    _, tri = sdgnn_edge_lists(eis, 4)
+    # neg mask counts d1_2+d1_3 (0 here) etc.; pos mask would count
+    # d1_1=1 and d1_4... the key assertion: value equals the neg-mask
+    # count alone, not pos+neg summed
+    from pytorch_geometric_signed_directed_tpu.nn.signed.motifs import (
+        _SDGNN_MASK_NEG)
+    # compute neg-mask expectation by hand: d-counts for (0,1)
+    # pos_out[0]={1,2}, pos_in[1]={0,2}, neg_out[0]={1,3}, neg_in[1]={0,3}
+    d = {
+        0: len({1, 2} & {0, 2}),   # d1_1 pos_out & pos_in = {2} -> 1
+        1: len({1, 2} & {0, 3}),   # d1_2
+        2: len({1, 3} & {0, 2}),   # d1_3
+        3: len({1, 3} & {0, 3}),   # d1_4 = {3} -> 1
+    }
+    counts16 = np.zeros(16)
+    counts16[0], counts16[1], counts16[2], counts16[3] = d[0], d[1], d[2], d[3]
+    # remaining d2/d3/d4 computed implicitly by the motif code; just check
+    # the pos-only contribution (mask index 0 weight 1 on d1_1=1) is absent
+    val = tri[0, 1]
+    naive_neg = np.dot(counts16, _SDGNN_MASK_NEG)
+    # tri may include d2/d3/d4 neg-mask terms; it must NOT include the
+    # pos-mask d1_1 term (which would add 1)
+    assert val >= naive_neg
+    # recompute full expectation via the tested-parity naive path
+    from tests.test_motifs import naive_adj_lists
+    _, tri_counts = naive_adj_lists(eis, 4)
+    assert val == np.dot(tri_counts(0, 1), _SDGNN_MASK_NEG)

@@ -71,3 +71,31 @@ def test_plan_permutation_roundtrip():
     assert sorted(pm[valid].tolist()) == sorted(marker.tolist())
     # padded entries zero
     assert (pm[~valid] == 0).all()
+
+
+def test_custom_chunk_size():
+    A, S, x = case(500, 4000, 8, seed=21)
+    from pytorch_geometric_signed_directed_tpu.ops.pallas.scatter_mxu import (
+        MXUCoo)
+    row = np.asarray(A.row)[: A.nnz]
+    col = np.asarray(A.col)[: A.nnz]
+    val = np.asarray(A.val)[: A.nnz]
+    plan, perm = build_scatter_plan(row, 500, chunk=512)
+    col_p, val_p = permute_edge_data(perm, col.astype(np.int32),
+                                     val.astype(np.float32))
+    M = MXUCoo(plan=plan, col=jnp.asarray(col_p), val=jnp.asarray(val_p),
+               num_cols=500, transposed=None)
+    from pytorch_geometric_signed_directed_tpu.ops.pallas.scatter_mxu import (
+        _mxu_forward)
+    out = np.asarray(_mxu_forward(M, jnp.asarray(x)))
+    np.testing.assert_allclose(out, S @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_sparse_rows_skip_empty_windows():
+    # only 2 of 32 windows have edges: plan must not pad the other 30
+    A = build_coo([0, 4000], [1, 2], [1.0, 2.0], 4096)
+    M = mxu_from_coo(A)
+    assert M.plan.win.shape[0] == 2  # one chunk per non-empty window
+    out = np.asarray(mxu_spmm(M, jnp.ones((4096, 4), np.float32)))
+    assert out[0, 0] == 1.0 and out[4000, 0] == 2.0
+    assert np.abs(out).sum() == (1.0 + 2.0) * 4

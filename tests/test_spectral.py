@@ -97,14 +97,19 @@ def test_lambda_max_is_largest_eig():
 
 
 def test_magnet_propagators_scaled():
-    """Propagator pair == 2L/lambda - I applied densely (lambda=2, sym)."""
+    """Propagator pair == (2L/lambda - I)^T applied densely (lambda=2, sym).
+
+    The conv applies L^T (the reference's flow setdefault is dead code —
+    see spectral.magnetic.magnet_propagators); L_re is symmetric and L_im
+    antisymmetric, so the imaginary operator is the negated Laplacian imag.
+    """
     n = 25
     ei, w = random_digraph(n, seed=7)
     P_re, P_im = magnet_propagators(ei, w, q=0.25, num_nodes=n, mode="dense")
     L = dense_magnetic_laplacian(ei, w, n, 0.25, "sym")
     Lhat = L - np.eye(n)
     np.testing.assert_allclose(np.asarray(P_re.dense), Lhat.real, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(P_im.dense), Lhat.imag, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P_im.dense), Lhat.imag.T, atol=1e-6)
 
 
 @pytest.mark.parametrize("mode", ["dense", "segment"])

@@ -77,3 +77,28 @@ def test_time_fn_and_edges_per_second():
     assert dt > 0
     eps = edges_per_second(f, 1000, x, iters=5)
     assert eps > 0
+
+
+def test_weight_decay_is_coupled_l2():
+    """Trainer(weight_decay=wd) must match torch-Adam coupled L2:
+    equivalent to adam on loss + wd/2*||p||^2 (gradient-coupled), not
+    decoupled AdamW."""
+    import optax
+
+    w0 = jnp.asarray([2.0])
+    wd, lr = 0.1, 0.05
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2)
+
+    t = Trainer(loss_fn, lr=lr, weight_decay=wd)
+    s = t.init({"w": w0})
+    t.step(s)
+    # reference: adam on gradient g + wd*p
+    ref = optax.adam(lr)
+    rs = ref.init({"w": w0})
+    g = {"w": 2 * w0 + wd * w0}
+    upd, _ = ref.update(g, rs)
+    expect = optax.apply_updates({"w": w0}, upd)
+    np.testing.assert_allclose(np.asarray(s.params["w"]),
+                               np.asarray(expect["w"]), rtol=1e-6)
