@@ -13,6 +13,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from .ops.coo import build_coo
+from .ops.coalesce import coalesce_edges
 from .ops.spmm import Propagator, propagator_from_coo
 
 
@@ -31,11 +32,9 @@ def coalesce(edge_index, edge_weight=None, num_nodes: Optional[int] = None):
     """Sort by (row, col) and sum duplicate edges."""
     edge_index, edge_weight, num_nodes = _as_numpy_graph(
         edge_index, edge_weight, num_nodes)
-    key = edge_index[0].astype(np.int64) * num_nodes + edge_index[1]
-    uniq, inv = np.unique(key, return_inverse=True)
-    w = np.zeros(len(uniq))
-    np.add.at(w, inv, edge_weight)
-    return np.stack([uniq // num_nodes, uniq % num_nodes]), w
+    r, c, w = coalesce_edges(edge_index[0], edge_index[1], edge_weight,
+                             num_cols=num_nodes)
+    return np.stack([r, c]), w
 
 
 def to_undirected(edge_index, edge_weight=None, num_nodes: Optional[int] = None):

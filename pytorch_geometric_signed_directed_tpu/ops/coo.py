@@ -123,13 +123,10 @@ def build_coo(
         num_cols = num_nodes
 
     if sum_duplicates and len(row):
-        key = row * num_cols + col
-        order = np.argsort(key, kind="stable")
-        key, row, col, val = key[order], row[order], col[order], val[order]
-        uniq, inv = np.unique(key, return_inverse=True)
-        sval = np.zeros(len(uniq), dtype=val.dtype)
-        np.add.at(sval, inv, val)
-        row, col, val = uniq // num_cols, uniq % num_cols, sval
+        from .coalesce import coalesce_edges
+
+        row, col, sval = coalesce_edges(row, col, val, num_cols=num_cols)
+        val = sval.astype(val.dtype)
     elif len(row):
         order = np.lexsort((col, row))
         row, col, val = row[order], col[order], val[order]

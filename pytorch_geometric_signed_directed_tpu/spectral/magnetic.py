@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+from ..ops.coalesce import coalesce_edges
 from ..ops.coo import build_coo
 from ..ops.spmm import (
     _DENSE_AUTO_MAX_NODES,
@@ -60,16 +61,8 @@ def _symmetrize(edge_index, edge_weight, num_nodes):
     theta_attr = np.concatenate([edge_weight, -edge_weight])
     abs_attr = np.concatenate([np.abs(edge_weight), np.abs(edge_weight)])
 
-    key = r.astype(np.int64) * num_nodes + c.astype(np.int64)
-    uniq, inv = np.unique(key, return_inverse=True)
-    sym = np.zeros(len(uniq))
-    theta = np.zeros(len(uniq))
-    abs_sym = np.zeros(len(uniq))
-    np.add.at(sym, inv, sym_attr)
-    np.add.at(theta, inv, theta_attr)
-    np.add.at(abs_sym, inv, abs_attr)
-    row = (uniq // num_nodes).astype(np.int64)
-    col = (uniq % num_nodes).astype(np.int64)
+    row, col, sym, theta, abs_sym = coalesce_edges(
+        r, c, sym_attr, theta_attr, abs_attr, num_cols=num_nodes)
     return row, col, sym / 2.0, theta, abs_sym / 2.0
 
 
