@@ -45,21 +45,23 @@ def main():
     y = jnp.asarray(data.y)
     label_dim = int(np.asarray(data.y).max()) + 1
 
+    model = DiGCN_Inception_Block_node_classification(
+        num_features=x.shape[1], hidden=args.hidden,
+        label_dim=label_dim, dropout=args.dropout)
+
+    def loss_fn(p, train_mask):
+        logp = model.apply(p, x, P1, P2)
+        per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
+        return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
+
+    trainer = Trainer(loss_fn, lr=args.lr)
     accs = []
     for split in range(data.train_mask.shape[1]):
-        train_idx = jnp.asarray(np.nonzero(data.train_mask[:, split])[0])
+        train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
         test_idx = np.nonzero(data.test_mask[:, split])[0]
-        model = DiGCN_Inception_Block_node_classification(
-            num_features=x.shape[1], hidden=args.hidden,
-            label_dim=label_dim, dropout=args.dropout)
-        params = model.init(jax.random.PRNGKey(args.seed), x, P1, P2)
-
-        def loss_fn(p):
-            logp = model.apply(p, x, P1, P2)
-            return -jnp.mean(logp[train_idx, y[train_idx]])
-
-        trainer = Trainer(loss_fn, lr=args.lr)
-        state = trainer.fit(trainer.init(params), tuple, args.epochs)
+        params = model.init(jax.random.PRNGKey(args.seed + split), x, P1, P2)
+        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
+                            args.epochs)
         pred = np.asarray(model.apply(state.params, x, P1, P2)).argmax(1)
         acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
         accs.append(acc)

@@ -48,21 +48,26 @@ def main():
     y = jnp.asarray(data.y)
     label_dim = int(np.asarray(data.y).max()) + 1
 
+    model = MagNet_node_classification(
+        num_features=2, hidden=args.hidden, K=args.K, q=args.q,
+        label_dim=label_dim, activation=True, dropout=args.dropout)
+
+    # masked NLL with the train mask as a batch argument: one jitted step
+    # shared by every split (per-split recompiles are expensive on
+    # tunneled backends)
+    def loss_fn(p, train_mask):
+        logp = model.apply(p, x, x, lap)
+        per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
+        return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
+
+    trainer = Trainer(loss_fn, lr=args.lr)
     accs = []
     for split in range(data.train_mask.shape[1]):
-        train_idx = jnp.asarray(np.nonzero(data.train_mask[:, split])[0])
+        train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
         test_idx = np.nonzero(data.test_mask[:, split])[0]
-        model = MagNet_node_classification(
-            num_features=2, hidden=args.hidden, K=args.K, q=args.q,
-            label_dim=label_dim, activation=True, dropout=args.dropout)
-        params = model.init(jax.random.PRNGKey(args.seed), x, x, lap)
-
-        def loss_fn(p):
-            logp = model.apply(p, x, x, lap)
-            return -jnp.mean(logp[train_idx, y[train_idx]])
-
-        trainer = Trainer(loss_fn, lr=args.lr)
-        state = trainer.fit(trainer.init(params), tuple, args.epochs)
+        params = model.init(jax.random.PRNGKey(args.seed + split), x, x, lap)
+        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
+                            args.epochs)
         pred = np.asarray(model.apply(state.params, x, x, lap)).argmax(1)
         acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
         accs.append(acc)

@@ -251,3 +251,19 @@ class TestLinkSplit:
             if n_class == 5:
                 assert (np.abs(w_ij[labels_ == 4])
                         + np.abs(w_ji[labels_ == 4]) == 0).all()
+
+
+class TestLinkSplitRatio:
+    def test_ratio_subsamples_training_edges(self):
+        F = meta_graph_generation("cyclic", 3, 0.05, False)
+        A, labels = DSBM(100, 3, 0.5, F, rng=np.random.default_rng(17))
+        d = DirectedData(A=A, y=labels)
+        full = link_class_split(d, splits=1, task="direction", seed=0,
+                                maintain_connect=False, ratio=1.0)
+        half = link_class_split(d, splits=1, task="direction", seed=0,
+                                maintain_connect=False, ratio=0.5)
+        assert (half[0]["train"]["edges"].shape[0]
+                < full[0]["train"]["edges"].shape[0])
+        # val/test sizes governed by prob_val/prob_test, not ratio
+        assert (half[0]["test"]["label"].shape[0]
+                == full[0]["test"]["label"].shape[0])

@@ -340,3 +340,26 @@ class TestDropoutTraining:
             rngs={"dropout": jax.random.PRNGKey(3)}).sum())(params)
         assert np.isfinite(
             np.asarray(jax.tree.leaves(g)[0])).all()
+
+
+class TestCrossTier:
+    def test_magnet_forward_same_across_tiers(self):
+        """dense / segment / mxu propagators give the same MagNet output."""
+        d = create_mock_data(n=80, seed=11)
+        n = d.num_nodes
+        x = in_out_degree(d.edge_index, n, edge_weight=d.edge_weight)
+        model = MagNet_node_classification(num_features=2, hidden=8, K=2,
+                                           label_dim=NUM_CLASSES,
+                                           activation=True)
+        outs = {}
+        params = None
+        for mode in ("dense", "segment", "mxu"):
+            lap = magnet_propagators(d.edge_index, d.edge_weight, q=0.25,
+                                     num_nodes=n, mode=mode)
+            if params is None:
+                params = model.init(jax.random.PRNGKey(0), x, x, lap)
+            outs[mode] = np.asarray(model.apply(params, x, x, lap))
+        np.testing.assert_allclose(outs["dense"], outs["segment"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(outs["dense"], outs["mxu"],
+                                   rtol=1e-4, atol=1e-4)
