@@ -7,8 +7,11 @@ an AttnGraph (self-loops baked in at build time).
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .snea_conv import AttnGraph, build_attention_graph
-from ...ops.segment import segment_softmax, segment_sum
+from .snea_conv import (
+    AttnGraph,
+    attention_softmax_aggregate,
+    build_attention_graph,
+)
 
 _glorot = nn.initializers.xavier_uniform()
 
@@ -34,9 +37,5 @@ class GATConv(nn.Module):
         dst_safe = jnp.minimum(g.dst, n - 1)
         logits = nn.leaky_relu(a_src[src] + a_dst[dst_safe],
                                self.negative_slope)
-        alpha = segment_softmax(logits, g.dst, n, indices_are_sorted=True)
-        msg = h[src] * alpha[:, None]
-        valid = (g.dst < n)[:, None]
-        out = segment_sum(jnp.where(valid, msg, 0.0), g.dst, n,
-                          indices_are_sorted=True)
+        out = attention_softmax_aggregate(g, logits, h[src])
         return out + self.param("bias", nn.initializers.zeros, (self.out_dim,))

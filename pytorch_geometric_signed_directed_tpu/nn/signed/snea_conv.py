@@ -17,21 +17,31 @@ import flax.linen as nn
 from flax import struct
 
 from ...ops.segment import segment_softmax, segment_sum
+from ...ops.pallas.scatter_mxu import (
+    ScatterPlan,
+    build_scatter_plan,
+    permute_edge_data,
+    scatter_sum,
+)
 
 _xavier_normal = nn.initializers.xavier_normal()
 
 
 @struct.dataclass
 class AttnGraph:
-    """Padded edge structure sorted by destination.
+    """Padded edge structure in scatter-plan order (grouped by 128-row
+    destination window, window-local ascending).
 
-    src/dst: [E_pad] int32 (dst == num_nodes marks padding).
-    edge_p:  [E_pad] int32 edge-type selector (0 balanced / 1 unbalanced).
+    src/dst: [E2] int32 (dst == num_nodes marks padding).
+    edge_p:  [E2] int32 edge-type selector (0 balanced / 1 unbalanced).
+    plan: the MXU scatter plan over dst — segment sums run as one-hot
+    matmuls (ops/pallas/scatter_mxu) instead of XLA scatters.
     """
 
     src: jnp.ndarray
     dst: jnp.ndarray
     edge_p: jnp.ndarray
+    plan: ScatterPlan
     num_nodes: int = struct.field(pytree_node=False)
 
 
@@ -56,15 +66,38 @@ def build_attention_graph(edge_sets, num_nodes: int,
     flag = np.concatenate(flags).astype(np.int32)
     order = np.argsort(dst, kind="stable")
     src, dst, flag = src[order], dst[order], flag[order]
-    e = len(src)
-    e_pad = max(((e + pad_multiple - 1) // pad_multiple) * pad_multiple,
-                pad_multiple)
-    psrc = np.zeros(e_pad, np.int32)
-    pdst = np.full(e_pad, num_nodes, np.int32)
-    pflag = np.zeros(e_pad, np.int32)
-    psrc[:e], pdst[:e], pflag[:e] = src, dst, flag
+    plan, perm = build_scatter_plan(dst, num_nodes)
+    psrc, pflag = permute_edge_data(perm, src.astype(np.int32),
+                                    flag.astype(np.int32))
+    pdst = np.full(len(perm), num_nodes, np.int32)
+    pdst[perm >= 0] = dst[perm[perm >= 0]].astype(np.int32)
     return AttnGraph(src=jnp.asarray(psrc), dst=jnp.asarray(pdst),
-                     edge_p=jnp.asarray(pflag), num_nodes=num_nodes)
+                     edge_p=jnp.asarray(pflag), plan=plan,
+                     num_nodes=num_nodes)
+
+
+def attention_softmax_aggregate(g: AttnGraph, logits: jnp.ndarray,
+                                msgs: jnp.ndarray) -> jnp.ndarray:
+    """softmax(logits) over edges grouped by destination, then weighted
+    aggregation of msgs — both segment sums on the MXU scatter plan.
+
+    Numerical stability uses a single global shift: per-segment softmax is
+    invariant to any constant shift, and a global max bounds exp() above;
+    padding rows contribute zero and empty segments divide by the tiny
+    guard.
+    """
+    n = g.num_nodes
+    valid = g.dst < n
+    neg_inf = jnp.finfo(logits.dtype).min
+    shift = jnp.max(jnp.where(valid, logits, neg_inf))
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    ex = jnp.where(valid, jnp.exp(logits - shift), 0.0)
+    # single fused scatter: [denominator | exp-weighted msgs] — avoids a
+    # second (1-lane, pathological) scatter and the per-edge denom gather
+    stacked = jnp.concatenate([ex[:, None], msgs * ex[:, None]], axis=1)
+    agg = scatter_sum(g.plan, stacked)
+    denom = jnp.maximum(agg[:, :1], jnp.finfo(logits.dtype).tiny)
+    return agg[:, 1:] / denom
 
 
 def snea_graphs(pos_edge_index, neg_edge_index, num_nodes: int
@@ -87,12 +120,8 @@ def _attend(x1, x2, g: AttnGraph, alpha_dense: nn.Dense):
     h_j = jnp.where(sel, x2[src], x1[src])
     h_i = jnp.where(sel, x2[dst_safe], x1[dst_safe])
     edge_h = jnp.concatenate([h_j, h_i], axis=-1)
-    alpha = jnp.tanh(alpha_dense(edge_h))
-    alpha = segment_softmax(alpha[:, 0], g.dst, n, indices_are_sorted=True)
-    msg = h_i * alpha[:, None]
-    valid = (g.dst < n)[:, None]
-    return segment_sum(jnp.where(valid, msg, 0.0), g.dst, n,
-                       indices_are_sorted=True)
+    logits = jnp.tanh(alpha_dense(edge_h))[:, 0]
+    return attention_softmax_aggregate(g, logits, h_i)
 
 
 class SNEAConv(nn.Module):

@@ -289,3 +289,49 @@ def test_sdgnn_dual_sign_pair_uses_neg_weight():
     from tests.test_motifs import naive_adj_lists
     _, tri_counts = naive_adj_lists(eis, 4)
     assert val == np.dot(tri_counts(0, 1), _SDGNN_MASK_NEG)
+
+
+def test_attention_softmax_aggregate_matches_dense():
+    """Plan-based softmax aggregation == per-destination dense softmax."""
+    from pytorch_geometric_signed_directed_tpu.nn.signed.snea_conv import (
+        attention_softmax_aggregate, build_attention_graph)
+
+    rng = np.random.default_rng(0)
+    n, e, f = 200, 1500, 8
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    g = build_attention_graph([(ei, 0, False)], n)
+    e2 = g.src.shape[0]
+    logits = jnp.asarray(rng.standard_normal(e2).astype(np.float32) * 3)
+    msgs = jnp.asarray(rng.standard_normal((e2, f)).astype(np.float32))
+    out = np.asarray(attention_softmax_aggregate(g, logits, msgs))
+
+    dst = np.asarray(g.dst)
+    lg = np.asarray(logits)
+    ms = np.asarray(msgs)
+    expect = np.zeros((n, f), np.float64)
+    for d in range(n):
+        m = dst == d
+        if not m.any():
+            continue
+        a = np.exp(lg[m] - lg[m].max())
+        a /= a.sum()
+        expect[d] = (ms[m] * a[:, None]).sum(0)
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_aggregate_grads_finite():
+    from pytorch_geometric_signed_directed_tpu.nn.signed.snea_conv import (
+        attention_softmax_aggregate, build_attention_graph)
+
+    rng = np.random.default_rng(1)
+    n = 64
+    ei = np.stack([rng.integers(0, n, 300), rng.integers(0, n, 300)])
+    g = build_attention_graph([(ei, 0, True)], n)
+    e2 = g.src.shape[0]
+    logits = jnp.asarray(rng.standard_normal(e2).astype(np.float32))
+    msgs = jnp.asarray(rng.standard_normal((e2, 4)).astype(np.float32))
+    gl, gm = jax.grad(
+        lambda l, m: jnp.sum(attention_softmax_aggregate(g, l, m) ** 2),
+        argnums=(0, 1))(logits, msgs)
+    assert np.isfinite(np.asarray(gl)).all()
+    assert np.isfinite(np.asarray(gm)).all()
