@@ -28,8 +28,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..inits import glorot, zeros
-from ...ops.spmm import Propagator
-from ...spectral.magnetic import MagneticTemplate, template_propagators
+from ...ops.spmm import DualPropagator, Propagator, dual_spmm_stacked
+from ...spectral.magnetic import (
+    MagneticPair,
+    MagneticTemplate,
+    template_propagators,
+)
 
 
 def chebyshev_stack(P: Propagator, x: jnp.ndarray, K: int) -> jnp.ndarray:
@@ -40,6 +44,22 @@ def chebyshev_stack(P: Propagator, x: jnp.ndarray, K: int) -> jnp.ndarray:
     for _ in range(2, K + 1):
         ts.append(2.0 * P(ts[-1]) - ts[-2])
     return jnp.stack(ts)
+
+
+def dual_chebyshev_stacks(D: DualPropagator, x_a, x_b, K: int):
+    """Both Chebyshev stacks in lockstep through the fused operator pair:
+    one lane-stacked gather + scatter per order instead of two of each
+    (the XLA row gather costs the same up to 128 lanes).  The recurrence
+    state stays lane-stacked [N, 2F] throughout — the split back into the
+    two streams happens once at the end, not once per order."""
+    f = x_a.shape[1]
+    ts = [jnp.concatenate([x_a, x_b], axis=1)]
+    if K >= 1:
+        ts.append(dual_spmm_stacked(D, ts[0]))
+    for _ in range(2, K + 1):
+        ts.append(2.0 * dual_spmm_stacked(D, ts[-1]) - ts[-2])
+    s = jnp.stack(ts)                      # [K+1, N, 2F]
+    return s[:, :, :f], s[:, :, f:]
 
 
 class MagNetConv(nn.Module):
@@ -67,15 +87,21 @@ class MagNetConv(nn.Module):
         weight = self.param(
             "weight", glorot, (self.K + 1, self.in_channels, self.out_channels)
         )
+        dual = None
         if self.trainable_q:
             q = self.param("q", lambda k: jnp.full((1,), self.q))
             q = jnp.clip(q, 0.0, 0.25)  # reference clamps each forward (:141-142)
             P_re, P_im = template_propagators(lap, q[0])
         else:
             P_re, P_im = lap
+            if isinstance(lap, MagneticPair):
+                dual = lap.dual
 
-        s1 = chebyshev_stack(P_re, x_real, self.K)  # [K+1, N, F]
-        s2 = chebyshev_stack(P_im, x_imag, self.K)
+        if dual is not None:
+            s1, s2 = dual_chebyshev_stacks(dual, x_real, x_imag, self.K)
+        else:
+            s1 = chebyshev_stack(P_re, x_real, self.K)  # [K+1, N, F]
+            s2 = chebyshev_stack(P_im, x_imag, self.K)
         o1 = jnp.einsum("knf,kfo->no", s1, weight)
         o2 = jnp.einsum("knf,kfo->no", s2, weight)
         out_real = o1 - o2

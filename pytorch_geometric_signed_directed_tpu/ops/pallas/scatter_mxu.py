@@ -20,7 +20,7 @@ does well; wired up via custom_vjp.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -30,12 +30,34 @@ from jax.experimental.pallas import tpu as pltpu
 from flax import struct
 
 WINDOW = 128  # output rows per window
-CHUNK = 1024  # edges per grid step (8 sub-blocks of 128 -> aligned tiles)
+CHUNK = 1024  # fallback edges per grid step (see _pick_chunk)
 SUB = 128
+
+# Measured pipeline constants on TPU v5e (scratch micro-bench, E=2M/F=32):
+# each grid step costs ~1.35us of fixed overhead regardless of block bytes,
+# and every padded edge rides the expensive XLA row-gather (~2.4ns/edge).
+# _pick_chunk trades the two: big chunks amortize step overhead, small
+# chunks avoid padding low-degree windows up to the chunk size.
+_STEP_OVERHEAD_NS = 1350.0
+_GATHER_NS_PER_EDGE = 2.4
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_chunk(window_counts: np.ndarray) -> int:
+    """Choose the per-grid-step edge count minimizing step overhead +
+    padded-gather cost for this degree profile."""
+    best, best_cost = CHUNK, float("inf")
+    for chunk in (1024, 2048, 4096, 8192):
+        padded = np.sum(
+            (window_counts + chunk - 1) // chunk).astype(np.int64) * chunk
+        steps = padded // chunk
+        cost = steps * _STEP_OVERHEAD_NS + padded * _GATHER_NS_PER_EDGE
+        if cost < best_cost:
+            best, best_cost = chunk, cost
+    return best
 
 
 @struct.dataclass
@@ -57,15 +79,19 @@ class ScatterPlan:
     num_edges: int = struct.field(pytree_node=False)   # valid (unpadded)
 
 
-def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
+def build_scatter_plan(row, num_rows: int,
+                       chunk: Optional[int] = None) -> ScatterPlan:
     """row: sorted destination ids of the valid edges (host numpy)."""
-    assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
     row = np.asarray(row, np.int64)
     e = len(row)
     order = np.argsort(row, kind="stable")
     row_sorted = row[order]
     win_of_edge = row_sorted // WINDOW
     num_windows = _round_up(max(num_rows, 1), WINDOW) // WINDOW
+    if chunk is None:
+        counts = np.bincount(win_of_edge, minlength=num_windows)
+        chunk = _pick_chunk(counts[counts > 0])
+    assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
 
     perm_parts, lr_parts, gr_parts, win_ids = [], [], [], []
     visited = np.zeros(num_windows, bool)
@@ -96,10 +122,10 @@ def build_scatter_plan(row, num_rows: int, chunk: int = CHUNK) -> ScatterPlan:
         win_ids.append(0)
 
     perm = np.concatenate(perm_parts)
-    # [num_chunks * 8, SUB]: each grid step reads an (8, SUB)-aligned tile
-    lr_all = np.concatenate(lr_parts).reshape(-1, SUB)
+    # [num_chunks * (chunk/SUB), SUB]: each grid step reads an aligned tile
+    lr_flat = np.concatenate(lr_parts)
     plan = ScatterPlan(
-        local_rows=jnp.asarray(lr_all),
+        local_rows=jnp.asarray(lr_flat.reshape(-1, SUB)),
         global_rows=jnp.asarray(np.concatenate(gr_parts)),
         win=jnp.asarray(np.asarray(win_ids, np.int32)),
         visited=jnp.asarray(visited),
@@ -120,7 +146,23 @@ def permute_edge_data(perm: np.ndarray, *arrays) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
-def _kernel(win_ref, lr_ref, msgs_ref, out_ref):
+def _kernel(win_ref, lr_ref, msgs_ref, out_ref, *, precision):
+    """One grid step: accumulate a chunk of plan-ordered messages into the
+    current 128-row output window.
+
+    One wide one-hot [WINDOW, chunk] and a single MXU dot per grid step —
+    K-dim streaming amortizes the MXU issue latency that dominated the
+    per-sub-tile variant.  The one-hot operand is exact in any precision;
+    `precision` only controls the MXU passes over the msgs operand.
+
+    Feature widths < 128 lanes pay a DMA penalty on the msgs blocks
+    (~90 GB/s vs ~170 GB/s full-lane measured on v5e) — but repacking
+    msgs into 128-lane rows costs a relayout (~2.5 ms at E=2M, TPU HBM
+    tiles pad narrow rows) that exceeds the saving.  The fast path for
+    narrow features is stacking streams up to 128 lanes *before* the
+    gather (see ops.spmm multi-stream helpers): the XLA row gather is
+    row-count-bound up to 128 lanes, so stacked streams ride for free.
+    """
     i = pl.program_id(0)
     prev = win_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, win_ref[i] != prev)
@@ -130,22 +172,19 @@ def _kernel(win_ref, lr_ref, msgs_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, SUB), 0)
-    acc = jnp.zeros((WINDOW, msgs_ref.shape[1]), jnp.float32)
-    for a in range(lr_ref.shape[0]):  # chunk // SUB sub-tiles
-        onehot = (rows == lr_ref[a][None, :]).astype(jnp.float32)
-        # HIGHEST keeps msgs at full f32 through the MXU passes (the
-        # one-hot operand is exact in any precision); the kernel is
-        # bandwidth-bound so the extra passes are free
-        acc += jnp.dot(onehot, msgs_ref[pl.ds(a * SUB, SUB), :],
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    out_ref[...] += acc
+    onehot = jnp.concatenate(
+        [(rows == lr_ref[a][None, :]).astype(msgs_ref.dtype)
+         for a in range(lr_ref.shape[0])], axis=1)    # [WINDOW, chunk]
+    out_ref[...] += jnp.dot(onehot, msgs_ref[...],
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_windows", "interpret"))
+                   static_argnames=("num_windows", "interpret", "precision"))
 def _scatter_matmul(win, local_rows, msgs, num_windows: int,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST):
     num_chunks = win.shape[0]
     f = msgs.shape[1]
     # chunk geometry derived from the arrays themselves so a plan built
@@ -162,7 +201,7 @@ def _scatter_matmul(win, local_rows, msgs, num_windows: int,
         out_specs=pl.BlockSpec((WINDOW, f), lambda i, win: (win[i], 0)),
     )
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=precision),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, f),
                                        jnp.float32),
@@ -185,10 +224,13 @@ def _scatter_forward(plan, msgs):
     # no feature padding: Mosaic allows a full-width last dim, and padding
     # to 128 lanes would multiply the HBM traffic of the bandwidth-bound
     # msgs stream
+    from ..spmm import get_matmul_precision
+
     f = msgs.shape[1]
     out = _scatter_matmul(plan.win, plan.local_rows,
                           msgs.astype(jnp.float32), plan.num_windows,
-                          interpret=jax.default_backend() != "tpu")
+                          interpret=jax.default_backend() != "tpu",
+                          precision=get_matmul_precision())
     # zero the windows no chunk wrote (their buffers are uninitialized)
     mask = jnp.repeat(plan.visited, WINDOW)[: plan.num_rows]
     return jnp.where(mask[:, None], out[: plan.num_rows, :f], 0.0)

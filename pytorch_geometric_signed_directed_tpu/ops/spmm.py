@@ -158,6 +158,124 @@ def propagator_from_coo(A: COO, mode: str = "auto",
     return Propagator(coo=A, dense=None, bsr=None, mode="segment")
 
 
+@struct.dataclass
+class DualPropagator:
+    """Two same-sparsity linear operators applied as ONE gather + scatter.
+
+    The XLA row gather is row-count-bound up to 128 lanes (measured on
+    v5e: 2M rows cost ~5 ms at F=32, 64 and 128 alike), so applying two
+    operators that share an edge structure to two feature blocks stacked
+    along lanes halves the dominant cost of the sparse tier.  This is the
+    TPU-native fusion of MagNetConv's multi-stream propagate chain
+    (reference nn/directed/MagNetConv.py:196-240).
+
+    ``col``/``row``/``plan`` describe the shared structure; ``val_a``/
+    ``val_b`` the two weight sets.  ``transposed`` makes the backward a
+    fused forward of the transpose (custom VJP).
+    """
+
+    col: jnp.ndarray
+    row: Optional[jnp.ndarray]          # segment mode only
+    val_a: jnp.ndarray
+    val_b: jnp.ndarray
+    plan: Optional[object]              # ops.pallas.scatter_mxu.ScatterPlan
+    num_nodes: int = struct.field(pytree_node=False)
+    num_cols: int = struct.field(pytree_node=False)
+    mode: str = struct.field(pytree_node=False)
+    transposed: object = None           # Optional[DualPropagator]
+
+
+def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
+                    num_cols: Optional[int] = None, mode: str = "auto",
+                    with_transpose: bool = True) -> Optional[DualPropagator]:
+    """Build a fused operator pair from one shared (row, col) edge list.
+
+    Returns None for tiers where fusion buys nothing (dense/bsr) — callers
+    fall back to applying the two operators separately.
+    """
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val_a = np.asarray(val_a, np.float32)
+    val_b = np.asarray(val_b, np.float32)
+    num_nodes = int(num_nodes if num_nodes is not None
+                    else (row.max() + 1 if row.size else 0))
+    num_cols = int(num_cols) if num_cols is not None else num_nodes
+    if mode == "auto":
+        mode = ("dense" if max(num_nodes, num_cols) <= _DENSE_AUTO_MAX_NODES
+                else "mxu")
+    if mode not in ("mxu", "segment"):
+        return None
+
+    t = (dual_propagator(col, row, val_a, val_b, num_cols, num_nodes,
+                         mode=mode, with_transpose=False)
+         if with_transpose else None)
+    if mode == "mxu":
+        from .pallas.scatter_mxu import build_scatter_plan, permute_edge_data
+
+        plan, perm = build_scatter_plan(row, num_nodes)
+        col_p, va_p, vb_p = permute_edge_data(
+            perm, col.astype(np.int32), val_a, val_b)
+        return DualPropagator(
+            col=jnp.asarray(col_p), row=None, val_a=jnp.asarray(va_p),
+            val_b=jnp.asarray(vb_p), plan=plan, num_nodes=num_nodes,
+            num_cols=num_cols, mode="mxu", transposed=t)
+    A = build_coo(row, col, val_a, num_nodes, num_cols=num_cols)
+    B = build_coo(row, col, val_b, num_nodes, num_cols=num_cols)
+    return DualPropagator(
+        col=A.col, row=A.row, val_a=A.val, val_b=B.val, plan=None,
+        num_nodes=num_nodes, num_cols=num_cols, mode="segment", transposed=t)
+
+
+@jax.custom_vjp
+def dual_spmm_stacked(D: DualPropagator, x: jnp.ndarray) -> jnp.ndarray:
+    """[A x_a | B x_b] for lane-stacked x = [x_a | x_b] ([N, 2F]).
+
+    One gather + one scatter; the per-edge weight selection is a fused
+    elementwise ``where`` over the lane index, so no lane-concat relayouts
+    touch the [E, 2F] message stream.  Keeping the Chebyshev state stacked
+    across calls (nn/directed/magnet_conv.dual_chebyshev_stacks) removes
+    the per-order split/concat copies entirely.
+    """
+    return _dual_forward_stacked(D, x)
+
+
+def _dual_forward_stacked(D, x):
+    fa = x.shape[1] // 2
+    g = x[D.col]
+    lane = jnp.arange(2 * fa) < fa
+    msgs = g * jnp.where(lane[None, :], D.val_a[:, None], D.val_b[:, None])
+    if D.mode == "mxu":
+        from .pallas.scatter_mxu import scatter_sum
+
+        return scatter_sum(D.plan, msgs).astype(x.dtype)
+    return segment_sum(msgs, D.row, D.num_nodes, indices_are_sorted=True)
+
+
+def _dual_fwd(D, x):
+    return _dual_forward_stacked(D, x), D
+
+
+def _dual_bwd(D, g):
+    if D.transposed is None:
+        raise ValueError("dual_propagator(with_transpose=False) is not "
+                         "differentiable")
+    zero = jax.tree.map(
+        lambda p: (jnp.zeros_like(p)
+                   if jnp.issubdtype(p.dtype, jnp.floating)
+                   else np.zeros(p.shape, jax.dtypes.float0)), D)
+    return zero, _dual_forward_stacked(D.transposed, g)
+
+
+dual_spmm_stacked.defvjp(_dual_fwd, _dual_bwd)
+
+
+def dual_spmm(D: DualPropagator, x_a: jnp.ndarray, x_b: jnp.ndarray):
+    """(A x_a, B x_b) for same-structure A, B — one gather, one scatter."""
+    fa = x_a.shape[1]
+    out = dual_spmm_stacked(D, jnp.concatenate([x_a, x_b], axis=1))
+    return out[:, :fa], out[:, fa:]
+
+
 def complex_spmm(
     P_re: Propagator, P_im: Propagator, x_re: jnp.ndarray, x_im: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -30,9 +30,35 @@ from ..ops.coalesce import coalesce_edges
 from ..ops.coo import build_coo
 from ..ops.spmm import (
     _DENSE_AUTO_MAX_NODES,
+    DualPropagator,
     Propagator,
+    dual_propagator,
     propagator_from_coo,
 )
+
+
+@struct.dataclass
+class MagneticPair:
+    """(L_hat_re, L_hat_im) + optional fused same-structure operator.
+
+    Unpacks like the plain tuple it replaces (``P_re, P_im = pair``).
+    ``dual`` is populated on the sparse tiers, where applying both
+    operators as one lane-stacked gather+scatter halves the hot-loop cost
+    (see ops.spmm.DualPropagator); None on the dense tier.
+    """
+
+    re: Propagator
+    im: Propagator
+    dual: Optional[DualPropagator] = None
+
+    def __iter__(self):
+        return iter((self.re, self.im))
+
+    def __len__(self):
+        return 2
+
+    def __getitem__(self, i):
+        return (self.re, self.im)[i]
 
 
 def _remove_self_loops(edge_index, edge_weight):
@@ -170,7 +196,7 @@ def magnet_propagators(
     mode: str = "auto",
     signed: bool = False,
     absolute_degree: bool = True,
-) -> Tuple[Propagator, Propagator]:
+) -> MagneticPair:
     """Build the scaled Chebyshev operator pair (L_hat_re, L_hat_im).
 
     L_hat = 2 L / lambda_max − I, exactly the (edge_index, norm) pair the
@@ -202,15 +228,25 @@ def magnet_propagators(
     # minus: the conv applies L^T and L_im is antisymmetric (see docstring)
     w_im = -2.0 * w_im / lambda_max
     # Extra self-loops of -1 on the real part: L_hat = 2L/lambda - I
-    # (reference MagNetConv.py:110-111).
+    # (reference MagNetConv.py:110-111).  The imaginary part gets explicit
+    # zero-weight loops so both operators share one coalesced structure —
+    # that shared sparsity is what lets the sparse tiers apply (re, im) as
+    # a single lane-stacked gather+scatter (DualPropagator).
     loops = np.arange(num_nodes)
-    row_re = np.concatenate([ei[0], loops])
-    col_re = np.concatenate([ei[1], loops])
+    row_s = np.concatenate([ei[0], loops])
+    col_s = np.concatenate([ei[1], loops])
     w_re = np.concatenate([w_re, -np.ones(num_nodes)])
+    w_im = np.concatenate([w_im, np.zeros(num_nodes)])
+    row, col, vre, vim = coalesce_edges(row_s, col_s, w_re, w_im,
+                                        num_cols=num_nodes)
 
-    A_re = build_coo(row_re, col_re, w_re, num_nodes, sum_duplicates=True)
-    A_im = build_coo(ei[0], ei[1], w_im, num_nodes, sum_duplicates=True)
-    return propagator_from_coo(A_re, mode=mode), propagator_from_coo(A_im, mode=mode)
+    A_re = build_coo(row, col, vre, num_nodes)
+    A_im = build_coo(row, col, vim, num_nodes)
+    return MagneticPair(
+        re=propagator_from_coo(A_re, mode=mode),
+        im=propagator_from_coo(A_im, mode=mode),
+        dual=dual_propagator(row, col, vre, vim, num_nodes, mode=mode),
+    )
 
 
 @struct.dataclass

@@ -99,3 +99,70 @@ def test_sparse_rows_skip_empty_windows():
     out = np.asarray(mxu_spmm(M, jnp.ones((4096, 4), np.float32)))
     assert out[0, 0] == 1.0 and out[4000, 0] == 2.0
     assert np.abs(out).sum() == (1.0 + 2.0) * 4
+
+
+def test_dual_propagator_matches_separate():
+    """Fused lane-stacked dual apply == separate SpMMs, fwd and bwd."""
+    import jax
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_propagator, dual_spmm, dual_spmm_stacked, spmm_coo)
+
+    rng = np.random.default_rng(7)
+    n, e = 300, 2500
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    va = rng.standard_normal(e).astype(np.float32)
+    vb = rng.standard_normal(e).astype(np.float32)
+    # shared coalesced structure
+    from pytorch_geometric_signed_directed_tpu.ops.coalesce import (
+        coalesce_edges)
+    row, col, va, vb = coalesce_edges(row, col, va, vb, num_cols=n)
+    A = build_coo(row, col, va, n)
+    B = build_coo(row, col, vb, n)
+
+    for mode in ("mxu", "segment"):
+        D = dual_propagator(row, col, va, vb, n, mode=mode)
+        xa = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+        xb = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+        ya, yb = dual_spmm(D, xa, xb)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(spmm_coo(A, xa)),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(spmm_coo(B, xb)),
+                                   rtol=1e-4, atol=1e-4)
+
+        # backward = transposed forward
+        def loss(x):
+            o = dual_spmm_stacked(D, x)
+            return (o ** 2).sum()
+
+        xcat = jnp.concatenate([xa, xb], axis=1)
+        g = jax.grad(loss)(xcat)
+
+        def loss_ref(x):
+            oa = spmm_coo(A, x[:, :8])
+            ob = spmm_coo(B, x[:, 8:])
+            return (oa ** 2).sum() + (ob ** 2).sum()
+
+        g_ref = jax.grad(loss_ref)(xcat)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_magnet_pair_dual_consistent_with_singles():
+    """magnet_propagators' fused dual agrees with its re/im Propagators."""
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnet_propagators)
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import dual_spmm
+
+    rng = np.random.default_rng(3)
+    n, e = 200, 1200
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.random(e).astype(np.float32)
+    pair = magnet_propagators(ei, w, q=0.1, num_nodes=n, mode="mxu")
+    assert pair.dual is not None
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    ya, yb = dual_spmm(pair.dual, x, x)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(pair.re(x)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(pair.im(x)),
+                               rtol=1e-4, atol=1e-4)
