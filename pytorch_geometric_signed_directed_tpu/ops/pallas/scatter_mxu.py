@@ -29,43 +29,54 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from flax import struct
 
-WINDOW = 128  # output rows per window
-CHUNK = 1024  # fallback edges per grid step (see _pick_chunk)
+WINDOW = 128  # default output rows per window
+CHUNK = 1024  # fallback edges per grid step (see _pick_geometry)
 SUB = 128
 
 # Measured pipeline constants on TPU v5e (scratch micro-bench, E=2M/F=32):
 # each grid step costs ~1.35us of fixed overhead regardless of block bytes,
-# and every padded edge rides the expensive XLA row-gather (~2.4ns/edge).
-# _pick_chunk trades the two: big chunks amortize step overhead, small
-# chunks avoid padding low-degree windows up to the chunk size.
+# every padded edge rides the expensive XLA row-gather (~2.4ns/edge), and
+# the on-the-fly one-hot costs window*chunk/1024 VPU cycles per chunk.
+# _pick_geometry trades the three: big chunks amortize step overhead, small
+# chunks avoid padding low-degree windows up to the chunk size, and bigger
+# windows pool low-degree rows so bigger chunks stay affordable.
 _STEP_OVERHEAD_NS = 1350.0
 _GATHER_NS_PER_EDGE = 2.4
+_VPU_NS_PER_CYCLE = 1.064
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_chunk(window_counts: np.ndarray) -> int:
-    """Choose the per-grid-step edge count minimizing step overhead +
-    padded-gather cost for this degree profile."""
-    best, best_cost = CHUNK, float("inf")
-    for chunk in (1024, 2048, 4096, 8192):
-        padded = np.sum(
-            (window_counts + chunk - 1) // chunk).astype(np.int64) * chunk
-        steps = padded // chunk
-        cost = steps * _STEP_OVERHEAD_NS + padded * _GATHER_NS_PER_EDGE
-        if cost < best_cost:
-            best, best_cost = chunk, cost
+def _pick_geometry(row_sorted: np.ndarray, num_rows: int):
+    """Choose (window, chunk) minimizing step overhead + padded-gather +
+    one-hot cost for this degree profile.  VMEM guard: the [window, chunk]
+    one-hot must stay within ~4MB f32."""
+    best, best_cost = (WINDOW, CHUNK), float("inf")
+    for window in (128, 256, 512):
+        nw = _round_up(max(num_rows, 1), window) // window
+        counts = np.bincount(row_sorted // window, minlength=nw)
+        counts = counts[counts > 0]
+        for chunk in (1024, 2048, 4096, 8192):
+            if window * chunk * 4 > 4 * 1024 * 1024:
+                continue
+            padded = int(np.sum((counts + chunk - 1) // chunk)) * chunk
+            steps = padded // chunk
+            cost = (steps * _STEP_OVERHEAD_NS
+                    + padded * _GATHER_NS_PER_EDGE
+                    + steps * (window * chunk / 1024.0) * _VPU_NS_PER_CYCLE)
+            if cost < best_cost:
+                best, best_cost = (window, chunk), cost
     return best
 
 
 @struct.dataclass
 class ScatterPlan:
-    """Host-built edge layout: chunks never cross a 128-row window.
+    """Host-built edge layout: chunks never cross a `window`-row window.
 
     perm maps plan order -> original edge order (host numpy, not a leaf).
-    local_rows holds row % 128 (WINDOW marks padding); global_rows holds
+    local_rows holds row % window (window marks padding); global_rows holds
     the full row id (num_rows marks padding) for the backward gather.
     """
 
@@ -77,61 +88,204 @@ class ScatterPlan:
     num_rows: int = struct.field(pytree_node=False)
     num_windows: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)   # valid (unpadded)
+    window: int = struct.field(pytree_node=False, default=WINDOW)
 
 
-def build_scatter_plan(row, num_rows: int,
-                       chunk: Optional[int] = None) -> ScatterPlan:
-    """row: sorted destination ids of the valid edges (host numpy)."""
+def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
+                     window: Optional[int] = None):
+    """Host-side plan construction shared by the flat and streamed builders.
+
+    Returns a dict of numpy arrays: perm (plan order -> original edge, -1
+    padding), lr (local rows, `window` marks padding), gr (global rows,
+    num_rows marks padding), win (per-chunk window id, non-decreasing),
+    visited, plus the resolved (window, chunk, num_windows, e).
+    """
     row = np.asarray(row, np.int64)
     e = len(row)
     order = np.argsort(row, kind="stable")
     row_sorted = row[order]
-    win_of_edge = row_sorted // WINDOW
-    num_windows = _round_up(max(num_rows, 1), WINDOW) // WINDOW
+    if window is None and chunk is None:
+        window, chunk = _pick_geometry(row_sorted, num_rows)
+    window = WINDOW if window is None else window
     if chunk is None:
-        counts = np.bincount(win_of_edge, minlength=num_windows)
-        chunk = _pick_chunk(counts[counts > 0])
+        chunk = CHUNK
     assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
+    assert window % WINDOW == 0, f"window must be a multiple of {WINDOW}"
+    win_of_edge = row_sorted // window
+    num_windows = _round_up(max(num_rows, 1), window) // window
 
-    perm_parts, lr_parts, gr_parts, win_ids = [], [], [], []
+    # vectorized per-window padding layout (the per-window Python loop cost
+    # minutes at WikiTalk scale): windows sorted, so each window is one run.
+    counts = np.bincount(win_of_edge, minlength=num_windows)
+    nonempty = np.flatnonzero(counts)
     visited = np.zeros(num_windows, bool)
-    start = 0
-    for w in range(num_windows):
-        end = start + int(np.searchsorted(win_of_edge[start:], w + 1))
-        cnt = end - start
-        if cnt == 0:
-            continue  # no chunk; the output mask zeroes this window
-        visited[w] = True
-        padded = _round_up(cnt, chunk)
-        idx = order[start:end]
-        lr = np.full(padded, WINDOW, np.int32)
-        gr = np.full(padded, num_rows, np.int32)
-        lr[:cnt] = (row_sorted[start:end] % WINDOW).astype(np.int32)
-        gr[:cnt] = row_sorted[start:end].astype(np.int32)
-        perm_parts.append(np.concatenate(
-            [idx, np.full(padded - cnt, -1, np.int64)]))
-        lr_parts.append(lr)
-        gr_parts.append(gr)
-        win_ids.extend([w] * (padded // chunk))
-        start = end
-    if not lr_parts:  # completely empty graph: one dummy padding chunk
-        visited[0] = False
-        perm_parts.append(np.full(chunk, -1, np.int64))
-        lr_parts.append(np.full(chunk, WINDOW, np.int32))
-        gr_parts.append(np.full(chunk, num_rows, np.int32))
-        win_ids.append(0)
+    if nonempty.size:
+        visited[nonempty] = True
+        cnts = counts[nonempty]
+        padded = ((cnts + chunk - 1) // chunk) * chunk
+        total = int(padded.sum())
+        # position of each valid edge inside the padded layout
+        pad_start = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        src_start = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        # dst index for edge j of window k: pad_start[k] + (j - src_start[k])
+        winidx = np.repeat(np.arange(nonempty.size), cnts)
+        dst = (pad_start[winidx]
+               + np.arange(e) - src_start[winidx]).astype(np.int64)
+        perm = np.full(total, -1, np.int64)
+        lr = np.full(total, window, np.int32)
+        gr = np.full(total, num_rows, np.int32)
+        perm[dst] = order
+        lr[dst] = (row_sorted % window).astype(np.int32)
+        gr[dst] = row_sorted.astype(np.int32)
+        win = np.repeat(nonempty, padded // chunk).astype(np.int32)
+    else:  # completely empty graph: one dummy padding chunk
+        perm = np.full(chunk, -1, np.int64)
+        lr = np.full(chunk, window, np.int32)
+        gr = np.full(chunk, num_rows, np.int32)
+        win = np.zeros(1, np.int32)
 
-    perm = np.concatenate(perm_parts)
-    # [num_chunks * (chunk/SUB), SUB]: each grid step reads an aligned tile
-    lr_flat = np.concatenate(lr_parts)
+    return dict(perm=perm, lr=lr, gr=gr, win=win, visited=visited,
+                window=window, chunk=chunk, num_windows=num_windows,
+                num_edges=e, num_rows=num_rows)
+
+
+def build_scatter_plan(row, num_rows: int, chunk: Optional[int] = None,
+                       window: Optional[int] = None) -> ScatterPlan:
+    """row: destination ids of the valid edges (host numpy)."""
+    h = _build_plan_host(row, num_rows, chunk, window)
     plan = ScatterPlan(
-        local_rows=jnp.asarray(lr_flat.reshape(-1, SUB)),
-        global_rows=jnp.asarray(np.concatenate(gr_parts)),
-        win=jnp.asarray(np.asarray(win_ids, np.int32)),
-        visited=jnp.asarray(visited),
-        num_rows=num_rows, num_windows=num_windows, num_edges=e,
+        local_rows=jnp.asarray(h["lr"].reshape(-1, SUB)),
+        global_rows=jnp.asarray(h["gr"]),
+        win=jnp.asarray(h["win"]),
+        visited=jnp.asarray(h["visited"]),
+        num_rows=num_rows, num_windows=h["num_windows"],
+        num_edges=h["num_edges"], window=h["window"],
     )
-    return plan, perm
+    return plan, h["perm"]
+
+
+@struct.dataclass
+class StreamPlan:
+    """Window-aligned blocks of plan chunks for bounded-memory scatter.
+
+    TPU HBM layouts pad rank-2 f32 rows to 128 lanes, so any [E, f<=128]
+    message stream costs E x 512 bytes — at WikiTalk scale (N=2.4M,
+    Laplacian nnz ~22M) one materialized message array exceeds HBM.  The
+    stream plan splits the chunks into S window-aligned blocks; execution
+    lax.scans over blocks, bounding peak per-edge memory to one block
+    (see ops.spmm streamed forwards).  A window never straddles blocks, so
+    the kernel's zero-on-first-chunk logic stays correct per block.
+    """
+
+    win: jnp.ndarray         # [S, C] block-LOCAL window ids, non-decreasing
+    local_rows: jnp.ndarray  # [S, C * chunk/SUB, SUB]
+    start_row: jnp.ndarray   # [S] first global output row of the block
+    real_rows: jnp.ndarray   # [S] valid rows in the block's output
+    visited: jnp.ndarray     # [num_windows] global
+    num_rows: int = struct.field(pytree_node=False)
+    num_windows: int = struct.field(pytree_node=False)
+    window: int = struct.field(pytree_node=False)
+    w_max: int = struct.field(pytree_node=False)   # windows per block (max)
+    num_edges: int = struct.field(pytree_node=False)
+    edges_per_block: int = struct.field(pytree_node=False)
+
+
+def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
+                      chunk: Optional[int] = None,
+                      window: Optional[int] = None):
+    """Group plan chunks into window-aligned blocks of bounded edge count.
+
+    Returns (StreamPlan, perm) where perm is [S * edges_per_block] with -1
+    for padding — feed to permute_edge_data and reshape the results to
+    [S, edges_per_block].
+    """
+    h = _build_plan_host(row, num_rows, chunk, window)
+    chunk_sz, window_sz = h["chunk"], h["window"]
+    win = h["win"]
+    n_chunks = len(win)
+    target = max(1, max_edges_per_block // chunk_sz)
+
+    # greedy pack whole windows (runs of equal win id) into blocks
+    run_ends = np.flatnonzero(np.diff(win)) + 1
+    runs = np.split(np.arange(n_chunks), run_ends)  # chunk idx per window
+    blocks, cur = [], []
+    for r in runs:
+        if cur and len(cur) + len(r) > target:
+            blocks.append(cur)
+            cur = []
+        cur = cur + list(r)
+    if cur:
+        blocks.append(cur)
+
+    c_blk = max(len(b) for b in blocks)
+    s = len(blocks)
+    sub = chunk_sz // SUB
+    lr = h["lr"].reshape(n_chunks, chunk_sz)
+    perm2 = h["perm"].reshape(n_chunks, chunk_sz)
+
+    win_b = np.zeros((s, c_blk), np.int32)
+    lr_b = np.full((s, c_blk, chunk_sz), window_sz, np.int32)
+    perm_b = np.full((s, c_blk, chunk_sz), -1, np.int64)
+    start_row = np.zeros(s, np.int32)
+    real_rows = np.zeros(s, np.int32)
+    w_max = 1
+    for i, b in enumerate(blocks):
+        k = len(b)
+        first_w, last_w = int(win[b[0]]), int(win[b[-1]])
+        start_row[i] = first_w * window_sz
+        real_rows[i] = (last_w - first_w + 1) * window_sz
+        w_max = max(w_max, last_w - first_w + 1)
+        win_b[i, :k] = win[b] - first_w
+        win_b[i, k:] = last_w - first_w    # dummy chunks: revisit last window
+        lr_b[i, :k] = lr[b]
+        perm_b[i, :k] = perm2[b]
+
+    plan = StreamPlan(
+        win=jnp.asarray(win_b),
+        local_rows=jnp.asarray(lr_b.reshape(s, c_blk * sub, SUB)),
+        start_row=jnp.asarray(start_row),
+        real_rows=jnp.asarray(real_rows),
+        visited=jnp.asarray(h["visited"]),
+        num_rows=num_rows, num_windows=h["num_windows"], window=window_sz,
+        w_max=w_max, num_edges=h["num_edges"],
+        edges_per_block=c_blk * chunk_sz,
+    )
+    return plan, perm_b.reshape(-1)
+
+
+def streamed_scatter(stream: StreamPlan, col_blocks, make_msgs, x,
+                     out_width: int, precision) -> jnp.ndarray:
+    """lax.scan over blocks: gather + make_msgs + scatter, bounded memory.
+
+    ``make_msgs(gathered, block_index)`` returns the [edges_per_block,
+    out_width] message block.  Only used inside custom-VJP forwards (its
+    own autodiff path would materialize full-size gradients).
+    """
+    window, w_max = stream.window, stream.w_max
+    slab = w_max * window
+    interpret = jax.default_backend() != "tpu"
+
+    def body(out, blk):
+        i, win, lr, col = blk
+        msgs = make_msgs(x[col], i).astype(jnp.float32)
+        part = _scatter_matmul(win, lr, msgs, w_max, window=window,
+                               interpret=interpret, precision=precision)
+        srow = stream.start_row[i]
+        cur = jax.lax.dynamic_slice(out, (srow, 0), (slab, out_width))
+        ok = (jnp.arange(slab) < stream.real_rows[i])[:, None]
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, part, cur), (srow, 0))
+        return out, None
+
+    s = stream.win.shape[0]
+    # slack rows so the last block's fixed-size slice stays in bounds
+    out0 = jnp.zeros((stream.num_windows * window + slab, out_width),
+                     jnp.float32)
+    out, _ = jax.lax.scan(
+        body, out0,
+        (jnp.arange(s), stream.win, stream.local_rows, col_blocks))
+    mask = jnp.repeat(stream.visited, window)[: stream.num_rows]
+    return jnp.where(mask[:, None], out[: stream.num_rows], 0.0)
 
 
 def permute_edge_data(perm: np.ndarray, *arrays) -> Tuple[np.ndarray, ...]:
@@ -146,11 +300,11 @@ def permute_edge_data(perm: np.ndarray, *arrays) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
-def _kernel(win_ref, lr_ref, msgs_ref, out_ref, *, precision):
+def _kernel(win_ref, lr_ref, msgs_ref, out_ref, *, window, precision):
     """One grid step: accumulate a chunk of plan-ordered messages into the
-    current 128-row output window.
+    current `window`-row output window.
 
-    One wide one-hot [WINDOW, chunk] and a single MXU dot per grid step —
+    One wide one-hot [window, chunk] and a single MXU dot per grid step —
     K-dim streaming amortizes the MXU issue latency that dominated the
     per-sub-tile variant.  The one-hot operand is exact in any precision;
     `precision` only controls the MXU passes over the msgs operand.
@@ -171,18 +325,20 @@ def _kernel(win_ref, lr_ref, msgs_ref, out_ref, *, precision):
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, SUB), 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
     onehot = jnp.concatenate(
         [(rows == lr_ref[a][None, :]).astype(msgs_ref.dtype)
-         for a in range(lr_ref.shape[0])], axis=1)    # [WINDOW, chunk]
+         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
     out_ref[...] += jnp.dot(onehot, msgs_ref[...],
                             preferred_element_type=jnp.float32,
                             precision=precision)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_windows", "interpret", "precision"))
+                   static_argnames=("num_windows", "window", "interpret",
+                                    "precision"))
 def _scatter_matmul(win, local_rows, msgs, num_windows: int,
+                    window: int = WINDOW,
                     interpret: bool = False,
                     precision=jax.lax.Precision.HIGHEST):
     num_chunks = win.shape[0]
@@ -198,16 +354,16 @@ def _scatter_matmul(win, local_rows, msgs, num_windows: int,
             pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
             pl.BlockSpec((chunk, f), lambda i, win: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((WINDOW, f), lambda i, win: (win[i], 0)),
+        out_specs=pl.BlockSpec((window, f), lambda i, win: (win[i], 0)),
     )
     return pl.pallas_call(
-        functools.partial(_kernel, precision=precision),
+        functools.partial(_kernel, window=window, precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_windows * WINDOW, f),
+        out_shape=jax.ShapeDtypeStruct((num_windows * window, f),
                                        jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * num_chunks * chunk * WINDOW * f,
-            bytes_accessed=msgs.size * 4 + num_windows * WINDOW * f * 4,
+            flops=2 * num_chunks * chunk * window * f,
+            bytes_accessed=msgs.size * 4 + num_windows * window * f * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -229,10 +385,11 @@ def _scatter_forward(plan, msgs):
     f = msgs.shape[1]
     out = _scatter_matmul(plan.win, plan.local_rows,
                           msgs.astype(jnp.float32), plan.num_windows,
+                          window=plan.window,
                           interpret=jax.default_backend() != "tpu",
                           precision=get_matmul_precision())
     # zero the windows no chunk wrote (their buffers are uninitialized)
-    mask = jnp.repeat(plan.visited, WINDOW)[: plan.num_rows]
+    mask = jnp.repeat(plan.visited, plan.window)[: plan.num_rows]
     return jnp.where(mask[:, None], out[: plan.num_rows, :f], 0.0)
 
 
@@ -253,26 +410,51 @@ def _bwd(plan, g):
 scatter_sum.defvjp(_fwd, _bwd)
 
 
+# Graphs whose plan exceeds this many (padded) edges execute in streamed
+# blocks: one [E, f<=128] f32 message array costs E x 512 bytes of HBM
+# (lane-tile padding), which exceeds the chip's HBM near E ~ 30M.
+STREAM_THRESHOLD_EDGES = 8_000_000
+STREAM_BLOCK_EDGES = 4_000_000
+
+
 @struct.dataclass
 class MXUCoo:
     """COO in plan order + the scatter plan: A @ x via XLA gather + MXU
     scatter.  ``transposed`` (same structure for A^T) makes the backward a
-    forward pass of the transpose instead of an unsorted XLA scatter."""
+    forward pass of the transpose instead of an unsorted XLA scatter.
 
-    plan: ScatterPlan
-    col: jnp.ndarray   # [E2] int32 (0 for padding)
-    val: jnp.ndarray   # [E2] float (0 for padding)
+    Exactly one of ``plan`` (flat) / ``stream`` (blocked col/val of shape
+    [S, edges_per_block]) is set."""
+
+    plan: Optional[ScatterPlan]
+    col: jnp.ndarray   # [E2] int32 (0 for padding), or [S, E_blk]
+    val: jnp.ndarray   # [E2] float (0 for padding), or [S, E_blk]
     num_cols: int = struct.field(pytree_node=False)
     transposed: object = None  # Optional[MXUCoo]
+    stream: Optional[StreamPlan] = None
+
+    @property
+    def num_rows(self) -> int:
+        return (self.plan or self.stream).num_rows
 
 
-def mxu_from_coo(A, with_transpose: bool = True) -> MXUCoo:
+def mxu_from_coo(A, with_transpose: bool = True,
+                 stream_threshold: int = STREAM_THRESHOLD_EDGES,
+                 stream_block_edges: int = STREAM_BLOCK_EDGES) -> MXUCoo:
     """Build from ops.coo.COO (valid entries only)."""
     row = np.asarray(A.row)[: A.nnz]
     col = np.asarray(A.col)[: A.nnz]
     val = np.asarray(A.val)[: A.nnz]
 
     def build(r, c, n_rows, n_cols, t):
+        if A.nnz > stream_threshold:
+            stream, perm = build_stream_plan(r, n_rows, stream_block_edges)
+            c_p, v_p = permute_edge_data(perm, np.asarray(c, np.int32),
+                                         val.astype(np.float32))
+            s = stream.win.shape[0]
+            return MXUCoo(plan=None, col=jnp.asarray(c_p).reshape(s, -1),
+                          val=jnp.asarray(v_p).reshape(s, -1),
+                          num_cols=n_cols, transposed=t, stream=stream)
         plan, perm = build_scatter_plan(r, n_rows)
         c_p, v_p = permute_edge_data(perm, np.asarray(c, np.int32),
                                      val.astype(np.float32))
@@ -289,6 +471,14 @@ def mxu_spmm(A: MXUCoo, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mxu_forward(A, x):
+    if A.stream is not None:
+        from ..spmm import get_matmul_precision
+
+        out = streamed_scatter(
+            A.stream, A.col,
+            lambda g, i: A.val[i][:, None] * g,
+            x, x.shape[1], get_matmul_precision())
+        return out.astype(x.dtype)
     msgs = A.val[:, None] * x[A.col]
     return scatter_sum(A.plan, msgs).astype(x.dtype)
 

@@ -87,7 +87,7 @@ class Propagator:
         if self.mode == "bsr":
             return self.bsr.num_rows
         if self.mode == "mxu":
-            return self.mxu.plan.num_rows
+            return self.mxu.num_rows
         return self.coo.num_nodes
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -183,6 +183,7 @@ class DualPropagator:
     num_cols: int = struct.field(pytree_node=False)
     mode: str = struct.field(pytree_node=False)
     transposed: object = None           # Optional[DualPropagator]
+    stream: Optional[object] = None     # ops.pallas.scatter_mxu.StreamPlan
 
 
 def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
@@ -210,8 +211,26 @@ def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
                          mode=mode, with_transpose=False)
          if with_transpose else None)
     if mode == "mxu":
-        from .pallas.scatter_mxu import build_scatter_plan, permute_edge_data
+        from .pallas.scatter_mxu import (
+            STREAM_BLOCK_EDGES,
+            STREAM_THRESHOLD_EDGES,
+            build_scatter_plan,
+            build_stream_plan,
+            permute_edge_data,
+        )
 
+        if len(row) > STREAM_THRESHOLD_EDGES:
+            stream, perm = build_stream_plan(row, num_nodes,
+                                             STREAM_BLOCK_EDGES)
+            col_p, va_p, vb_p = permute_edge_data(
+                perm, col.astype(np.int32), val_a, val_b)
+            s = stream.win.shape[0]
+            return DualPropagator(
+                col=jnp.asarray(col_p).reshape(s, -1), row=None,
+                val_a=jnp.asarray(va_p).reshape(s, -1),
+                val_b=jnp.asarray(vb_p).reshape(s, -1),
+                plan=None, num_nodes=num_nodes, num_cols=num_cols,
+                mode="mxu", transposed=t, stream=stream)
         plan, perm = build_scatter_plan(row, num_nodes)
         col_p, va_p, vb_p = permute_edge_data(
             perm, col.astype(np.int32), val_a, val_b)
@@ -241,8 +260,18 @@ def dual_spmm_stacked(D: DualPropagator, x: jnp.ndarray) -> jnp.ndarray:
 
 def _dual_forward_stacked(D, x):
     fa = x.shape[1] // 2
-    g = x[D.col]
     lane = jnp.arange(2 * fa) < fa
+    if D.stream is not None:
+        from .pallas.scatter_mxu import streamed_scatter
+
+        def make_msgs(g, i):
+            return g * jnp.where(lane[None, :], D.val_a[i][:, None],
+                                 D.val_b[i][:, None])
+
+        out = streamed_scatter(D.stream, D.col, make_msgs, x, 2 * fa,
+                               get_matmul_precision())
+        return out.astype(x.dtype)
+    g = x[D.col]
     msgs = g * jnp.where(lane[None, :], D.val_a[:, None], D.val_b[:, None])
     if D.mode == "mxu":
         from .pallas.scatter_mxu import scatter_sum

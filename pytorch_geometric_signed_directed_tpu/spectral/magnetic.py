@@ -240,12 +240,19 @@ def magnet_propagators(
     row, col, vre, vim = coalesce_edges(row_s, col_s, w_re, w_im,
                                         num_cols=num_nodes)
 
+    dual = dual_propagator(row, col, vre, vim, num_nodes, mode=mode)
+    # When the fused dual exists it carries the hot path (MagNetConv /
+    # MSConv use it exclusively); the standalone re/im operators are kept
+    # for API completeness on the cheap-to-build segment tier instead of
+    # paying four more mxu plan constructions (~2/3 of preprocessing time
+    # at WikiTalk scale).
+    single_mode = "segment" if dual is not None else mode
     A_re = build_coo(row, col, vre, num_nodes)
     A_im = build_coo(row, col, vim, num_nodes)
     return MagneticPair(
-        re=propagator_from_coo(A_re, mode=mode),
-        im=propagator_from_coo(A_im, mode=mode),
-        dual=dual_propagator(row, col, vre, vim, num_nodes, mode=mode),
+        re=propagator_from_coo(A_re, mode=single_mode),
+        im=propagator_from_coo(A_im, mode=single_mode),
+        dual=dual,
     )
 
 
