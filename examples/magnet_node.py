@@ -1,79 +1,6 @@
-"""MagNet node classification (telegram / cora_ml / citeseer / synthetic).
-
-Equivalent of reference examples/magnet_node.py.
-"""
-import argparse
-
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from pytorch_geometric_signed_directed_tpu.data import (
-    DSBM, DirectedData, load_directed_real_data)
-from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
-from pytorch_geometric_signed_directed_tpu.nn import MagNet_node_classification
-from pytorch_geometric_signed_directed_tpu.spectral import magnet_propagators
-from pytorch_geometric_signed_directed_tpu.train import Trainer
-from pytorch_geometric_signed_directed_tpu.utils import meta_graph_generation
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="telegram")
-    ap.add_argument("--epochs", type=int, default=1000)
-    ap.add_argument("--lr", type=float, default=5e-3)
-    ap.add_argument("--hidden", type=int, default=16)
-    ap.add_argument("--K", type=int, default=2)
-    ap.add_argument("--q", type=float, default=0.25)
-    ap.add_argument("--dropout", type=float, default=0.5)
-    ap.add_argument("--num_nodes", type=int, default=1000)
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
-
-    if args.dataset == "synthetic":
-        F = meta_graph_generation("cyclic", 5, 0.05, False)
-        A, y = DSBM(args.num_nodes, 5, 0.3, F,
-                    rng=np.random.default_rng(args.seed))
-        data = DirectedData(A=A, y=y)
-        data.node_split(train_size_per_class=0.6, val_size_per_class=0.2,
-                        data_split=2)
-    else:
-        data = load_directed_real_data(args.dataset, name=args.dataset)
-
-    n = data.num_nodes
-    x = in_out_degree(data.edge_index, n, edge_weight=data.edge_weight)
-    x = jnp.asarray(x / max(x.max(), 1.0))
-    lap = magnet_propagators(data.edge_index, data.edge_weight, q=args.q,
-                             num_nodes=n)
-    y = jnp.asarray(data.y)
-    label_dim = int(np.asarray(data.y).max()) + 1
-
-    model = MagNet_node_classification(
-        num_features=2, hidden=args.hidden, K=args.K, q=args.q,
-        label_dim=label_dim, activation=True, dropout=args.dropout)
-
-    # masked NLL with the train mask as a batch argument: one jitted step
-    # shared by every split (per-split recompiles are expensive on
-    # tunneled backends)
-    def loss_fn(p, train_mask):
-        logp = model.apply(p, x, x, lap)
-        per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
-        return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
-
-    trainer = Trainer(loss_fn, lr=args.lr)
-    accs = []
-    for split in range(data.train_mask.shape[1]):
-        train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
-        test_idx = np.nonzero(data.test_mask[:, split])[0]
-        params = model.init(jax.random.PRNGKey(args.seed + split), x, x, lap)
-        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
-                            args.epochs)
-        pred = np.asarray(model.apply(state.params, x, x, lap)).argmax(1)
-        acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
-        accs.append(acc)
-        print(f"split {split}: test acc {acc:.4f}")
-    print(f"mean test acc: {np.mean(accs):.4f} +/- {np.std(accs):.4f}")
-
+"""Wrapper: see pytorch_geometric_signed_directed_tpu.experiments.magnet_node
+(or run `python -m pytorch_geometric_signed_directed_tpu magnet_node`)."""
+from pytorch_geometric_signed_directed_tpu.experiments.magnet_node import main
 
 if __name__ == "__main__":
     main()

@@ -1,77 +1,6 @@
-"""MSGNN signed-directed link tasks (4/5-class sign+direction).
-
-Equivalent of reference examples MSGNN usage: signed magnetic Laplacian,
-four_class / five_class signed digraph splits on bitcoin-style data.
-"""
-import argparse
-
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from pytorch_geometric_signed_directed_tpu.data import (
-    SDSBM, SignedData, load_signed_real_data)
-from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
-from pytorch_geometric_signed_directed_tpu.nn import MSGNN_link_prediction
-from pytorch_geometric_signed_directed_tpu.spectral import magnet_propagators
-from pytorch_geometric_signed_directed_tpu.train import Trainer
-from pytorch_geometric_signed_directed_tpu.utils import (
-    link_class_split, meta_graph_generation)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="bitcoin_alpha")
-    ap.add_argument("--task", default="four_class_signed_digraph",
-                    choices=["four_class_signed_digraph",
-                             "five_class_signed_digraph", "sign"])
-    ap.add_argument("--epochs", type=int, default=500)
-    ap.add_argument("--lr", type=float, default=1e-2)
-    ap.add_argument("--hidden", type=int, default=16)
-    ap.add_argument("--K", type=int, default=1)
-    ap.add_argument("--q", type=float, default=0.25)
-    ap.add_argument("--num_nodes", type=int, default=1000)
-    ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
-    label_dim = {"four_class_signed_digraph": 4,
-                 "five_class_signed_digraph": 5, "sign": 2}[args.task]
-
-    if args.dataset == "synthetic":
-        F = meta_graph_generation("cyclic", 3, 0.05, False)
-        F[0, 1] = -abs(F[0, 1])
-        A, y = SDSBM(args.num_nodes, 3, 0.1, F, eta=0.1,
-                     rng=np.random.default_rng(args.seed))
-        data = SignedData(A=A, y=y)
-    else:
-        data = load_signed_real_data(args.dataset)
-    n = data.num_nodes
-    datasets = link_class_split(data, splits=1, task=args.task,
-                                seed=args.seed, maintain_connect=False)
-    g, w = datasets[0]["graph"], datasets[0]["weights"]
-    x = in_out_degree(g, n, signed=True, edge_weight=w)
-    x = jnp.asarray(x / max(np.abs(x).max(), 1.0))
-    lap = magnet_propagators(g, w, q=args.q, num_nodes=n, signed=True)
-    tr_e = jnp.asarray(datasets[0]["train"]["edges"])
-    tr_y = jnp.asarray(datasets[0]["train"]["label"])
-    te_e = jnp.asarray(datasets[0]["test"]["edges"])
-    te_y = np.asarray(datasets[0]["test"]["label"])
-
-    model = MSGNN_link_prediction(num_features=4, hidden=args.hidden,
-                                  K=args.K, q=args.q, label_dim=label_dim)
-    params = model.init(jax.random.PRNGKey(args.seed), x, x, lap, tr_e)
-
-    def loss_fn(p):
-        logp, _ = model.apply(p, x, x, lap, tr_e)
-        return -jnp.mean(logp[jnp.arange(tr_e.shape[0]), tr_y])
-
-    trainer = Trainer(loss_fn, lr=args.lr)
-    state = trainer.fit(trainer.init(params), tuple, args.epochs)
-    logp, _ = model.apply(state.params, x, x, lap, te_e)
-    pred = np.asarray(logp).argmax(1)
-    acc = (pred == te_y).mean()
-    print(f"{args.task} test acc: {acc:.4f} "
-          f"({state.history['seconds']:.1f}s)")
-
+"""Wrapper: see pytorch_geometric_signed_directed_tpu.experiments.msgnn_link
+(or run `python -m pytorch_geometric_signed_directed_tpu msgnn_link`)."""
+from pytorch_geometric_signed_directed_tpu.experiments.msgnn_link import main
 
 if __name__ == "__main__":
     main()
