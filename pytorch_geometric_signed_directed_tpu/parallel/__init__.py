@@ -10,6 +10,7 @@ chip via a trivial mesh.
 from .mesh import make_mesh, local_mesh
 from .sharded import (
     replicate,
+    shard_dual,
     shard_propagator,
     shard_magnet_laplacian,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "make_mesh",
     "local_mesh",
     "replicate",
+    "shard_dual",
     "shard_propagator",
     "shard_magnet_laplacian",
     "PartitionedCOO",

@@ -7,13 +7,24 @@ from jax.sharding import Mesh
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("graph",)) -> Mesh:
-    """1-D device mesh over the first ``n_devices`` devices.
+              axis_names: Sequence[str] = ("graph",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Device mesh over the first ``n_devices`` devices.
 
-    The single axis ("graph") shards the node/edge dimension of the graph;
-    data parallelism over multiple graphs can stack a second axis.
+    With the default 1-D shape, the single axis ("graph") shards the
+    node/edge dimension of the graph.  Pass ``shape`` (matching
+    ``axis_names``) for a multi-axis mesh — e.g. ``shape=(2, 4),
+    axis_names=("data", "graph")`` trains 2 independent splits/seeds in
+    parallel (vmapped leading axis sharded over "data") while each
+    training's graph operators shard over 4 chips on "graph".
     """
     devices = jax.devices()
+    if shape is not None:
+        n = int(np.prod(shape))
+        if n > len(devices):
+            raise ValueError(f"requested {n} devices, have {len(devices)}")
+        assert len(shape) == len(axis_names)
+        return Mesh(np.asarray(devices[:n]).reshape(shape), axis_names)
     if n_devices is None:
         n_devices = len(devices)
     if n_devices > len(devices):

@@ -80,10 +80,39 @@ def shard_propagator(prop: Propagator, mesh: Mesh,
     raise ValueError(prop.mode)
 
 
-def shard_magnet_laplacian(lap, mesh: Mesh, axis: str = "graph"):
-    """Shard a (P_re, P_im) pair or a MagneticTemplate."""
-    from ..spectral.magnetic import MagneticTemplate
+def shard_dual(dual, mesh: Mesh, axis: str = "graph"):
+    """Shard a fused DualPropagator's edge arrays (segment mode only —
+    the mxu tier's scatter plan is single-chip; multi-chip drops to the
+    segment dual, whose sorted segment-sum GSPMD partitions cleanly)."""
+    from ..ops.spmm import DualPropagator
 
+    if dual is None or dual.mode != "segment":
+        return None
+    es = _edge_sharding(mesh, axis)
+
+    def place(d):
+        if d is None:
+            return None
+        return DualPropagator(
+            col=jax.device_put(d.col, es),
+            row=jax.device_put(d.row, es),
+            val_a=jax.device_put(d.val_a, es),
+            val_b=jax.device_put(d.val_b, es),
+            plan=None, num_nodes=d.num_nodes, num_cols=d.num_cols,
+            mode="segment", transposed=place(d.transposed))
+
+    return place(dual)
+
+
+def shard_magnet_laplacian(lap, mesh: Mesh, axis: str = "graph"):
+    """Shard a MagneticPair / (P_re, P_im) pair / MagneticTemplate."""
+    from ..spectral.magnetic import MagneticPair, MagneticTemplate
+
+    if isinstance(lap, MagneticPair):
+        return MagneticPair(
+            re=shard_propagator(lap.re, mesh, axis),
+            im=shard_propagator(lap.im, mesh, axis),
+            dual=shard_dual(lap.dual, mesh, axis))
     if isinstance(lap, MagneticTemplate):
         if lap.mode == "dense":
             s = NamedSharding(mesh, P(axis, None))
