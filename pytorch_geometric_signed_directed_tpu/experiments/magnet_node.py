@@ -19,13 +19,20 @@ from pytorch_geometric_signed_directed_tpu.utils import meta_graph_generation
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    # telegram defaults from the TPU sweep (PERF.md): q=0.15, K=2,
+    # hidden=32, lr=5e-3, wd=5e-4, val-selected checkpoint
     ap.add_argument("--dataset", default="telegram")
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=5e-3)
-    ap.add_argument("--hidden", type=int, default=16)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--hidden", type=int, default=32)
     ap.add_argument("--K", type=int, default=2)
-    ap.add_argument("--q", type=float, default=0.25)
-    ap.add_argument("--dropout", type=float, default=0.5)
+    ap.add_argument("--q", type=float, default=0.15)
+    ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--features", choices=("degree", "data"),
+                    default="degree",
+                    help="degree: in/out-degree (MagNet-paper style); "
+                    "data: the dataset's own x (reference-example style)")
     ap.add_argument("--num_nodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -41,15 +48,18 @@ def main(argv=None):
         data = load_directed_real_data(args.dataset, name=args.dataset)
 
     n = data.num_nodes
-    x = in_out_degree(data.edge_index, n, edge_weight=data.edge_weight)
-    x = jnp.asarray(x / max(x.max(), 1.0))
+    if args.features == "data" and getattr(data, "x", None) is not None:
+        x = jnp.asarray(np.asarray(data.x, np.float32))
+    else:
+        x = in_out_degree(data.edge_index, n, edge_weight=data.edge_weight)
+        x = jnp.asarray(x / max(x.max(), 1.0))
     lap = magnet_propagators(data.edge_index, data.edge_weight, q=args.q,
                              num_nodes=n)
     y = jnp.asarray(data.y)
     label_dim = int(np.asarray(data.y).max()) + 1
 
     model = MagNet_node_classification(
-        num_features=2, hidden=args.hidden, K=args.K, q=args.q,
+        num_features=int(x.shape[1]), hidden=args.hidden, K=args.K, q=args.q,
         label_dim=label_dim, activation=True, dropout=args.dropout)
 
     # masked NLL with the train mask as a batch argument: one jitted step
@@ -60,18 +70,29 @@ def main(argv=None):
         per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
         return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
 
-    trainer = Trainer(loss_fn, lr=args.lr)
+    def accuracy(p, mask):
+        pred = np.asarray(model.apply(p, x, x, lap)).argmax(1)
+        return (pred[mask] == np.asarray(data.y)[mask]).mean()
+
+    trainer = Trainer(loss_fn, lr=args.lr, weight_decay=args.weight_decay)
     accs = []
     for split in range(data.train_mask.shape[1]):
         train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
+        val_idx = np.nonzero(data.val_mask[:, split])[0]
         test_idx = np.nonzero(data.test_mask[:, split])[0]
         params = model.init(jax.random.PRNGKey(args.seed + split), x, x, lap)
-        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
-                            args.epochs)
-        pred = np.asarray(model.apply(state.params, x, x, lap)).argmax(1)
-        acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
-        accs.append(acc)
-        print(f"split {split}: test acc {acc:.4f}")
+        state = trainer.init(params)
+        best_val, best_test = -1.0, 0.0
+        eval_every = max(args.epochs // 50, 1)
+        for epoch in range(args.epochs):
+            trainer.step(state, train_mask)
+            if (epoch + 1) % eval_every == 0:
+                vacc = accuracy(state.params, val_idx)
+                if vacc > best_val:
+                    best_val = vacc
+                    best_test = accuracy(state.params, test_idx)
+        accs.append(best_test)
+        print(f"split {split}: test acc {best_test:.4f} (val {best_val:.4f})")
     print(f"mean test acc: {np.mean(accs):.4f} +/- {np.std(accs):.4f}")
 
 
