@@ -267,7 +267,9 @@ def streamed_scatter(stream: StreamPlan, col_blocks, make_msgs, x,
 
     def body(out, blk):
         i, win, lr, col = blk
-        msgs = make_msgs(x[col], i).astype(jnp.float32)
+        msgs = make_msgs(x[col], i)
+        if msgs.dtype not in (jnp.float32, jnp.bfloat16):
+            msgs = msgs.astype(jnp.float32)
         part = _scatter_matmul(win, lr, msgs, w_max, window=window,
                                interpret=interpret, precision=precision)
         srow = stream.start_row[i]
@@ -383,8 +385,10 @@ def _scatter_forward(plan, msgs):
     from ..spmm import get_matmul_precision
 
     f = msgs.shape[1]
+    if msgs.dtype not in (jnp.float32, jnp.bfloat16):
+        msgs = msgs.astype(jnp.float32)
     out = _scatter_matmul(plan.win, plan.local_rows,
-                          msgs.astype(jnp.float32), plan.num_windows,
+                          msgs, plan.num_windows,
                           window=plan.window,
                           interpret=jax.default_backend() != "tpu",
                           precision=get_matmul_precision())
@@ -471,15 +475,16 @@ def mxu_spmm(A: MXUCoo, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mxu_forward(A, x):
-    if A.stream is not None:
-        from ..spmm import get_matmul_precision
+    from ..spmm import get_matmul_precision, get_message_dtype
 
+    mdt = get_message_dtype() or x.dtype
+    if A.stream is not None:
         out = streamed_scatter(
             A.stream, A.col,
-            lambda g, i: A.val[i][:, None] * g,
+            lambda g, i: (A.val[i][:, None] * g).astype(mdt),
             x, x.shape[1], get_matmul_precision())
         return out.astype(x.dtype)
-    msgs = A.val[:, None] * x[A.col]
+    msgs = (A.val[:, None] * x[A.col]).astype(mdt)
     return scatter_sum(A.plan, msgs).astype(x.dtype)
 
 

@@ -59,6 +59,26 @@ def get_matmul_precision():
     return _MATMUL_PRECISION
 
 
+# Optional reduced-precision storage for the [E, F] message stream of the
+# mxu tier (None = keep f32).  TPU HBM tiles pad f32 rows to 128 lanes, so
+# message traffic dominates large sparse applies; bf16 halves it while the
+# one-hot scatter kernel still accumulates in f32 (preferred_element_type).
+# Throughput knob — leave None when strict f32 parity matters.
+_MESSAGE_DTYPE = None
+
+
+def set_message_dtype(dt) -> None:
+    global _MESSAGE_DTYPE
+    if isinstance(dt, str):
+        dt = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+              "f32": None, "float32": None, "none": None}[dt.lower()]
+    _MESSAGE_DTYPE = dt
+
+
+def get_message_dtype():
+    return _MESSAGE_DTYPE
+
+
 def spmm_coo(A: COO, x: jnp.ndarray) -> jnp.ndarray:
     """out[row] += val * x[col]  — i.e. ``A @ x`` for 2-D x [M, F]."""
     msgs = A.val[:, None] * x[A.col]
@@ -261,18 +281,23 @@ def dual_spmm_stacked(D: DualPropagator, x: jnp.ndarray) -> jnp.ndarray:
 def _dual_forward_stacked(D, x):
     fa = x.shape[1] // 2
     lane = jnp.arange(2 * fa) < fa
+    # reduced-precision message storage only on the mxu tier, where the
+    # scatter kernel accumulates in f32 regardless (XLA segment_sum would
+    # accumulate in the message dtype)
+    mdt = (get_message_dtype() or x.dtype) if D.mode == "mxu" else x.dtype
     if D.stream is not None:
         from .pallas.scatter_mxu import streamed_scatter
 
         def make_msgs(g, i):
-            return g * jnp.where(lane[None, :], D.val_a[i][:, None],
-                                 D.val_b[i][:, None])
+            return (g * jnp.where(lane[None, :], D.val_a[i][:, None],
+                                  D.val_b[i][:, None])).astype(mdt)
 
         out = streamed_scatter(D.stream, D.col, make_msgs, x, 2 * fa,
                                get_matmul_precision())
         return out.astype(x.dtype)
     g = x[D.col]
-    msgs = g * jnp.where(lane[None, :], D.val_a[:, None], D.val_b[:, None])
+    msgs = (g * jnp.where(lane[None, :], D.val_a[:, None],
+                          D.val_b[:, None])).astype(mdt)
     if D.mode == "mxu":
         from .pallas.scatter_mxu import scatter_sum
 

@@ -224,3 +224,22 @@ def test_streamed_dual_propagator():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(yb), Sb @ np.asarray(xb),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_message_dtype_close_to_f32():
+    from pytorch_geometric_signed_directed_tpu.ops import spmm as spmm_mod
+
+    rng = np.random.default_rng(4)
+    n, e = 400, 3000
+    A = build_coo(rng.integers(0, n, e), rng.integers(0, n, e),
+                  rng.standard_normal(e).astype(np.float32), n)
+    M = mxu_from_coo(A)
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    ref = np.asarray(mxu_spmm(M, x))
+    spmm_mod.set_message_dtype("bf16")
+    try:
+        out = np.asarray(mxu_spmm(M, x))
+    finally:
+        spmm_mod.set_message_dtype(None)
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert 0 < rel < 2e-2  # bf16-rounded messages, f32 accumulation
