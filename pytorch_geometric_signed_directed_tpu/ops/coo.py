@@ -75,9 +75,16 @@ class COO:
         )
 
     def to_dense(self) -> jnp.ndarray:
-        """Dense [N, M] materialisation (device-side, jit-safe)."""
-        dense = jnp.zeros((self.num_nodes + 1, self.num_cols), self.val.dtype)
-        dense = dense.at[self.row, self.col].add(self.val)
+        """Dense [N, M] materialisation (device-side, jit-safe).
+
+        The scatter-add always runs under jit: the eager dispatch path of
+        at-least-one TPU runtime (tunneled v5e, libtpu 2026-xx) silently
+        returns all-zeros for scatters into outputs beyond ~40 MB — jitted
+        scatters are correct at every size we probed.  A host-side guard in
+        ops.spmm.propagator_from_coo double-checks preprocessing builds.
+        """
+        dense = _scatter_dense(self.row, self.col, self.val,
+                               (self.num_nodes + 1, self.num_cols))
         return dense[: self.num_nodes]
 
     def to_scipy(self):
@@ -87,6 +94,11 @@ class COO:
         c = np.asarray(self.col)[: self.nnz]
         v = np.asarray(self.val)[: self.nnz]
         return sp.coo_matrix((v, (r, c)), shape=self.shape).tocsr()
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _scatter_dense(row, col, val, shape):
+    return jnp.zeros(shape, val.dtype).at[row, col].add(val)
 
 
 def build_coo(

@@ -163,6 +163,21 @@ def propagator_from_coo(A: COO, mode: str = "auto",
                 <= _DENSE_AUTO_MAX_NODES else "mxu")
     if mode == "dense":
         dense = A.to_dense()
+        # guard against silent device-scatter corruption (observed on a
+        # tunneled v5e runtime: eager scatters into >40MB outputs returned
+        # all-zeros) — this runs once at preprocessing, so the host check
+        # is free relative to the build
+        if A.nnz and np.abs(np.asarray(A.val)).max() > 0 and \
+                not np.asarray(jnp.abs(dense).max() > 0):
+            import warnings
+
+            warnings.warn(
+                "device scatter produced an all-zero dense operator; "
+                "rebuilding on host (known TPU-runtime eager-scatter bug)")
+            host = np.zeros((A.num_nodes + 1, A.num_cols), np.float32)
+            np.add.at(host, (np.asarray(A.row), np.asarray(A.col)),
+                      np.asarray(A.val, np.float32))
+            dense = jnp.asarray(host[: A.num_nodes])
         if dense_dtype is not None:
             dense = dense.astype(dense_dtype)
         return Propagator(coo=None, dense=dense, bsr=None, mode="dense")
