@@ -65,16 +65,24 @@ def main(argv=None):
     # masked NLL with the train mask as a batch argument: one jitted step
     # shared by every split (per-split recompiles are expensive on
     # tunneled backends)
-    def loss_fn(p, train_mask):
-        logp = model.apply(p, x, x, lap)
+    def masked_nll(logp, train_mask):
         per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
         return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
+
+    if args.dropout > 0:
+        def loss_fn(p, key, train_mask):
+            logp = model.apply(p, x, x, lap, True, rngs={"dropout": key})
+            return masked_nll(logp, train_mask)
+    else:
+        def loss_fn(p, train_mask):
+            return masked_nll(model.apply(p, x, x, lap), train_mask)
 
     def accuracy(p, mask):
         pred = np.asarray(model.apply(p, x, x, lap)).argmax(1)
         return (pred[mask] == np.asarray(data.y)[mask]).mean()
 
-    trainer = Trainer(loss_fn, lr=args.lr, weight_decay=args.weight_decay)
+    trainer = Trainer(loss_fn, lr=args.lr, weight_decay=args.weight_decay,
+                      rng=args.seed if args.dropout > 0 else None)
     accs = []
     for split in range(data.train_mask.shape[1]):
         train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))

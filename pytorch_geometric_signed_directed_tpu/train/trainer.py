@@ -28,8 +28,13 @@ class Trainer:
     """
 
     def __init__(self, loss_fn: Callable, lr: float = 1e-3,
-                 weight_decay: float = 0.0, optimizer=None):
+                 weight_decay: float = 0.0, optimizer=None,
+                 rng: Optional[int] = None):
+        """``rng``: seed enabling stochastic losses (dropout) — loss_fn is
+        then called as loss_fn(params, key, *batch) with a fresh fold of
+        the seed each step."""
         self.loss_fn = loss_fn
+        self._base_key = None if rng is None else jax.random.PRNGKey(rng)
         if optimizer is None:
             if weight_decay:
                 # coupled L2 like torch.optim.Adam(weight_decay=...): the
@@ -42,10 +47,18 @@ class Trainer:
                 optimizer = optax.adam(lr)
         self.tx = optimizer
 
-        def _step(params, opt_state, *batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+        if self._base_key is None:
+            def _step(params, opt_state, step_i, *batch):
+                loss, grads = jax.value_and_grad(loss_fn)(params, *batch)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+        else:
+            def _step(params, opt_state, step_i, *batch):
+                key = jax.random.fold_in(self._base_key, step_i)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    params, key, *batch)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
 
         self._step = jax.jit(_step)
 
@@ -54,7 +67,7 @@ class Trainer:
 
     def step(self, state: TrainState, *batch) -> float:
         state.params, state.opt_state, loss = self._step(
-            state.params, state.opt_state, *batch)
+            state.params, state.opt_state, state.step, *batch)
         state.step += 1
         return float(loss)
 
@@ -64,7 +77,7 @@ class Trainer:
         costs a full host round-trip, which dominates on remote/tunneled
         backends)."""
         state.params, state.opt_state, loss = self._step(
-            state.params, state.opt_state, *batch)
+            state.params, state.opt_state, state.step, *batch)
         state.step += 1
         return loss
 

@@ -102,3 +102,24 @@ def test_weight_decay_is_coupled_l2():
     expect = optax.apply_updates({"w": w0}, upd)
     np.testing.assert_allclose(np.asarray(s.params["w"]),
                                np.asarray(expect["w"]), rtol=1e-6)
+
+
+def test_trainer_rng_stochastic_loss():
+    """Trainer(rng=...) threads a per-step key into loss_fn(params, key, ...)."""
+    import optax
+    from pytorch_geometric_signed_directed_tpu.train import Trainer
+
+    seen = []
+
+    def loss_fn(p, key, scale):
+        noise = jax.random.normal(key, ())
+        seen.append(True)
+        return (p["w"] ** 2).sum() * scale + 0.0 * noise + noise ** 2
+
+    tr = Trainer(loss_fn, lr=1e-2, rng=0)
+    state = tr.init({"w": jnp.ones(4)})
+    l1 = tr.step(state, jnp.float32(1.0))
+    l2 = tr.step(state, jnp.float32(1.0))
+    assert np.isfinite(l1) and np.isfinite(l2)
+    # different fold each step -> different noise contribution
+    assert l1 != l2
