@@ -33,6 +33,8 @@ def main(argv=None):
                     default="degree",
                     help="degree: in/out-degree (MagNet-paper style); "
                     "data: the dataset's own x (reference-example style)")
+    ap.add_argument("--normalize_features", action="store_true",
+                    help="row-normalize x to sum 1 (standard for BOW)")
     ap.add_argument("--num_nodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -49,7 +51,10 @@ def main(argv=None):
 
     n = data.num_nodes
     if args.features == "data" and getattr(data, "x", None) is not None:
-        x = jnp.asarray(np.asarray(data.x, np.float32))
+        x = np.asarray(data.x, np.float32)
+        if args.normalize_features:
+            x = x / np.maximum(x.sum(1, keepdims=True), 1e-12)
+        x = jnp.asarray(x)
     else:
         x = in_out_degree(data.edge_index, n, edge_weight=data.edge_weight)
         x = jnp.asarray(x / max(x.max(), 1.0))
