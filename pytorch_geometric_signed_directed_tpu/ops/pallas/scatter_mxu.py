@@ -177,15 +177,12 @@ class StreamPlan:
     the kernel's zero-on-first-chunk logic stays correct per block.
     """
 
-    win: jnp.ndarray         # [S, C] block-LOCAL window ids, non-decreasing
+    win: jnp.ndarray         # [S, C] GLOBAL window ids, non-decreasing
     local_rows: jnp.ndarray  # [S, C * chunk/SUB, SUB]
-    start_row: jnp.ndarray   # [S] first global output row of the block
-    real_rows: jnp.ndarray   # [S] valid rows in the block's output
     visited: jnp.ndarray     # [num_windows] global
     num_rows: int = struct.field(pytree_node=False)
     num_windows: int = struct.field(pytree_node=False)
     window: int = struct.field(pytree_node=False)
-    w_max: int = struct.field(pytree_node=False)   # windows per block (max)
     num_edges: int = struct.field(pytree_node=False)
     edges_per_block: int = struct.field(pytree_node=False)
 
@@ -203,7 +200,12 @@ def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
     chunk_sz, window_sz = h["chunk"], h["window"]
     win = h["win"]
     n_chunks = len(win)
-    target = max(1, max_edges_per_block // chunk_sz)
+    cap = max(1, max_edges_per_block // chunk_sz)
+    # balance block sizes: padding every block to the largest one gathers
+    # (and scatters) the padding as real work, so aim for equal blocks
+    # rather than cap-sized blocks with a small remainder
+    n_blocks = max(1, -(-n_chunks // cap))
+    target = -(-n_chunks // n_blocks)
 
     # greedy pack whole windows (runs of equal win id) into blocks
     run_ends = np.flatnonzero(np.diff(win)) + 1
@@ -226,28 +228,19 @@ def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
     win_b = np.zeros((s, c_blk), np.int32)
     lr_b = np.full((s, c_blk, chunk_sz), window_sz, np.int32)
     perm_b = np.full((s, c_blk, chunk_sz), -1, np.int64)
-    start_row = np.zeros(s, np.int32)
-    real_rows = np.zeros(s, np.int32)
-    w_max = 1
     for i, b in enumerate(blocks):
         k = len(b)
-        first_w, last_w = int(win[b[0]]), int(win[b[-1]])
-        start_row[i] = first_w * window_sz
-        real_rows[i] = (last_w - first_w + 1) * window_sz
-        w_max = max(w_max, last_w - first_w + 1)
-        win_b[i, :k] = win[b] - first_w
-        win_b[i, k:] = last_w - first_w    # dummy chunks: revisit last window
+        win_b[i, :k] = win[b]
+        win_b[i, k:] = win[b[-1]]   # dummy chunks: revisit the last window
         lr_b[i, :k] = lr[b]
         perm_b[i, :k] = perm2[b]
 
     plan = StreamPlan(
         win=jnp.asarray(win_b),
         local_rows=jnp.asarray(lr_b.reshape(s, c_blk * sub, SUB)),
-        start_row=jnp.asarray(start_row),
-        real_rows=jnp.asarray(real_rows),
         visited=jnp.asarray(h["visited"]),
         num_rows=num_rows, num_windows=h["num_windows"], window=window_sz,
-        w_max=w_max, num_edges=h["num_edges"],
+        num_edges=h["num_edges"],
         edges_per_block=c_blk * chunk_sz,
     )
     return plan, perm_b.reshape(-1)
@@ -257,12 +250,16 @@ def streamed_scatter(stream: StreamPlan, col_blocks, make_msgs, x,
                      out_width: int, precision) -> jnp.ndarray:
     """lax.scan over blocks: gather + make_msgs + scatter, bounded memory.
 
+    Each block accumulates directly into the shared output buffer via an
+    aliased pallas call (no slice/merge traffic): windows never straddle
+    blocks, each window is written by exactly one block, and unwritten
+    windows pass through the aliased buffer untouched.
+
     ``make_msgs(gathered, block_index)`` returns the [edges_per_block,
     out_width] message block.  Only used inside custom-VJP forwards (its
     own autodiff path would materialize full-size gradients).
     """
-    window, w_max = stream.window, stream.w_max
-    slab = w_max * window
+    window = stream.window
     interpret = jax.default_backend() != "tpu"
 
     def body(out, blk):
@@ -270,19 +267,12 @@ def streamed_scatter(stream: StreamPlan, col_blocks, make_msgs, x,
         msgs = make_msgs(x[col], i)
         if msgs.dtype not in (jnp.float32, jnp.bfloat16):
             msgs = msgs.astype(jnp.float32)
-        part = _scatter_matmul(win, lr, msgs, w_max, window=window,
-                               interpret=interpret, precision=precision)
-        srow = stream.start_row[i]
-        cur = jax.lax.dynamic_slice(out, (srow, 0), (slab, out_width))
-        ok = (jnp.arange(slab) < stream.real_rows[i])[:, None]
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, part, cur), (srow, 0))
+        out = _scatter_accum(win, lr, msgs, out, window=window,
+                             interpret=interpret, precision=precision)
         return out, None
 
     s = stream.win.shape[0]
-    # slack rows so the last block's fixed-size slice stays in bounds
-    out0 = jnp.zeros((stream.num_windows * window + slab, out_width),
-                     jnp.float32)
+    out0 = jnp.zeros((stream.num_windows * window, out_width), jnp.float32)
     out, _ = jax.lax.scan(
         body, out0,
         (jnp.arange(s), stream.win, stream.local_rows, col_blocks))
@@ -370,6 +360,64 @@ def _scatter_matmul(win, local_rows, msgs, num_windows: int,
         ),
         interpret=interpret,
     )(win, local_rows, msgs)
+
+
+def _kernel_accum(win_ref, lr_ref, msgs_ref, out_in_ref, out_ref, *,
+                  window, precision):
+    """_kernel, but each window's accumulation starts from the aliased
+    prior buffer contents instead of zero — lets streamed blocks write
+    straight into one shared output (windows never straddle blocks)."""
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, win_ref[i] != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = out_in_ref[...]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
+    onehot = jnp.concatenate(
+        [(rows == lr_ref[a][None, :]).astype(msgs_ref.dtype)
+         for a in range(lr_ref.shape[0])], axis=1)
+    out_ref[...] += jnp.dot(onehot, msgs_ref[...],
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "interpret", "precision"))
+def _scatter_accum(win, local_rows, msgs, out, window: int = WINDOW,
+                   interpret: bool = False,
+                   precision=jax.lax.Precision.HIGHEST):
+    """Accumulate one plan-ordered chunk stream into ``out`` in place
+    (input_output_aliases).  ``win`` holds GLOBAL window ids."""
+    num_chunks = win.shape[0]
+    f = msgs.shape[1]
+    sub_per_chunk = local_rows.shape[0] // num_chunks
+    chunk = sub_per_chunk * SUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((chunk, f), lambda i, win: (i, 0)),
+            pl.BlockSpec((window, f), lambda i, win: (win[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((window, f), lambda i, win: (win[i], 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_accum, window=window, precision=precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out.shape, jnp.float32),
+        input_output_aliases={3: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_chunks * chunk * window * f,
+            bytes_accessed=msgs.size * msgs.dtype.itemsize
+                           + num_chunks * window * f * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win, local_rows, msgs, out)
 
 
 @jax.custom_vjp
