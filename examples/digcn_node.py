@@ -1,0 +1,6 @@
+"""Wrapper: see pytorch_geometric_signed_directed_tpu.experiments.digcn_node
+(or run `python -m pytorch_geometric_signed_directed_tpu digcn_node`)."""
+from pytorch_geometric_signed_directed_tpu.experiments.digcn_node import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Plain DiGCN node classification (appr adjacency, 2 conv layers).
+
+Equivalent of reference examples/digcn_node.py.
+"""
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pytorch_geometric_signed_directed_tpu.data import load_directed_real_data
+from pytorch_geometric_signed_directed_tpu.graph import (
+    in_out_degree, norm_propagator)
+from pytorch_geometric_signed_directed_tpu.nn import DiGCN_node_classification
+from pytorch_geometric_signed_directed_tpu.spectral import appr_directed_adj
+from pytorch_geometric_signed_directed_tpu.train import Trainer
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="telegram")
+    ap.add_argument("--alpha", type=float, default=0.1)
+    ap.add_argument("--epochs", type=int, default=500)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
+    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--dropout", type=float, default=0.5)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    data = load_directed_real_data(args.dataset, name=args.dataset)
+    n = data.num_nodes
+    if data.x is not None:
+        x = jnp.asarray(np.asarray(data.x, np.float32))
+    else:
+        x = jnp.asarray(in_out_degree(data.edge_index, n,
+                                      edge_weight=data.edge_weight))
+    ei, w = appr_directed_adj(args.alpha, data.edge_index, n,
+                              data.edge_weight)
+    P = norm_propagator(ei, w, n)
+    y = jnp.asarray(data.y)
+    label_dim = int(np.asarray(data.y).max()) + 1
+
+    model = DiGCN_node_classification(
+        num_features=int(x.shape[1]), hidden=args.hidden,
+        label_dim=label_dim, dropout=args.dropout)
+
+    def loss_fn(p, train_mask):
+        logp = model.apply(p, x, P)
+        per_node = -logp[jnp.arange(n), y] * train_mask
+        return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
+
+    trainer = Trainer(loss_fn, lr=args.lr, weight_decay=args.weight_decay)
+    accs = []
+    for split in range(data.train_mask.shape[1]):
+        train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
+        test_idx = np.nonzero(data.test_mask[:, split])[0]
+        params = model.init(jax.random.PRNGKey(args.seed + split), x, P)
+        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
+                            args.epochs)
+        pred = np.asarray(model.apply(state.params, x, P)).argmax(1)
+        acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
+        accs.append(acc)
+        print(f"split {split}: test acc {acc:.4f}")
+    print(f"mean test acc: {np.mean(accs):.4f} +/- {np.std(accs):.4f}")
+
+
+if __name__ == "__main__":
+    main()

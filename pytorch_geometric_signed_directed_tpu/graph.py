@@ -68,7 +68,8 @@ def gcn_norm(edge_index, edge_weight=None, num_nodes: Optional[int] = None,
         edge_index, edge_weight = add_remaining_self_loops(
             edge_index, edge_weight, num_nodes, fill)
     deg = np.zeros(num_nodes)
-    np.add.at(deg, edge_index[1], edge_weight)  # in-degree at target
+    deg = deg + np.bincount(edge_index[1], weights=edge_weight,
+                            minlength=len(deg))  # in-degree at target
     dinv = np.zeros_like(deg)
     nz = deg > 0
     dinv[nz] = deg[nz] ** -0.5
@@ -124,7 +125,8 @@ def rw_norm_propagator(edge_index, edge_weight=None,
         edge_index, edge_weight = add_remaining_self_loops(
             edge_index, edge_weight, num_nodes, fill_value)
     deg = np.zeros(num_nodes)
-    np.add.at(deg, edge_index[0], edge_weight)
+    deg = deg + np.bincount(edge_index[0], weights=edge_weight,
+                            minlength=len(deg))
     dinv = np.zeros_like(deg)
     nz = deg > 0
     dinv[nz] = 1.0 / deg[nz]
@@ -148,7 +150,7 @@ def mean_propagator(edge_index, num_nodes: Optional[int] = None,
     else:
         row, col = edge_index[0], edge_index[1]
     cnt = np.zeros(num_nodes)
-    np.add.at(cnt, row, 1.0)
+    cnt = cnt + np.bincount(row, minlength=len(cnt)).astype(cnt.dtype)
     cnt[cnt == 0] = 1.0
     val = 1.0 / cnt[row]
     A = build_coo(row, col, val, num_nodes, sum_duplicates=False)
@@ -208,6 +210,8 @@ def in_out_degree(edge_index, size: Optional[int] = None, signed: bool = False,
     w = np.abs(edge_weight)
     in_deg = np.zeros(size)
     out_deg = np.zeros(size)
-    np.add.at(in_deg, edge_index[0], w)
-    np.add.at(out_deg, edge_index[1], w)
+    in_deg = in_deg + np.bincount(edge_index[0], weights=w,
+                                  minlength=len(in_deg))
+    out_deg = out_deg + np.bincount(edge_index[1], weights=w,
+                                    minlength=len(out_deg))
     return np.stack([in_deg, out_deg], axis=1).astype(np.float32)

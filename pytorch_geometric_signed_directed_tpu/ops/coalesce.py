@@ -12,16 +12,25 @@ import numpy as np
 def coalesce_edges(row, col, *values, num_cols: int,
                    ) -> Tuple[np.ndarray, ...]:
     """Sort edges by (row, col) and sum duplicate entries of each value
-    array.  Returns (row, col, *summed_values)."""
+    array.  Returns (row, col, *summed_values).
+
+    One argsort + add.reduceat over contiguous duplicate runs — an order
+    of magnitude faster than np.unique(return_inverse) + np.add.at at
+    WikiTalk scale (~40M entries)."""
     row = np.asarray(row, np.int64).ravel()
     col = np.asarray(col, np.int64).ravel()
     key = row * np.int64(num_cols) + col
-    uniq, inv = np.unique(key, return_inverse=True)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.concatenate(
+        [[0], np.flatnonzero(np.diff(ks)) + 1]) if len(ks) else np.zeros(
+            0, np.int64)
+    uniq = ks[starts] if len(ks) else ks
     out_vals = []
     for v in values:
         v = np.asarray(v)
-        s = np.zeros(len(uniq), dtype=v.dtype if
-                     np.issubdtype(v.dtype, np.floating) else np.float64)
-        np.add.at(s, inv, v)
+        dt = v.dtype if np.issubdtype(v.dtype, np.floating) else np.float64
+        s = (np.add.reduceat(v[order].astype(dt), starts)
+             if len(ks) else np.zeros(0, dt))
         out_vals.append(s)
     return (uniq // num_cols, uniq % num_cols, *out_vals)

@@ -101,6 +101,15 @@ def _scatter_dense(row, col, val, shape):
     return jnp.zeros(shape, val.dtype).at[row, col].add(val)
 
 
+def _is_rowcol_sorted(row: np.ndarray, col: np.ndarray) -> bool:
+    """O(n) check saving the O(n log n) lexsort for pre-coalesced inputs
+    (most propagator builds feed coalesce_edges output straight in)."""
+    if len(row) < 2:
+        return True
+    r0, r1 = row[:-1], row[1:]
+    return bool(np.all((r1 > r0) | ((r1 == r0) & (col[1:] >= col[:-1]))))
+
+
 def build_coo(
     row,
     col,
@@ -139,7 +148,7 @@ def build_coo(
 
         row, col, sval = coalesce_edges(row, col, val, num_cols=num_cols)
         val = sval.astype(val.dtype)
-    elif len(row):
+    elif len(row) and not _is_rowcol_sorted(row, col):
         order = np.lexsort((col, row))
         row, col, val = row[order], col[order], val[order]
 

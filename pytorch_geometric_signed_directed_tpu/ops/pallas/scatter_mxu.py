@@ -102,8 +102,12 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     """
     row = np.asarray(row, np.int64)
     e = len(row)
-    order = np.argsort(row, kind="stable")
-    row_sorted = row[order]
+    if e < 2 or np.all(row[1:] >= row[:-1]):   # pre-sorted fast path
+        order = np.arange(e, dtype=np.int64)
+        row_sorted = row
+    else:
+        order = np.argsort(row, kind="stable")
+        row_sorted = row[order]
     if window is None and chunk is None:
         window, chunk = _pick_geometry(row_sorted, num_rows)
     window = WINDOW if window is None else window

@@ -30,7 +30,8 @@ def _add_self_loops(edge_index, edge_weight, num_nodes, fill_value=1.0):
 def _sym_norm(edge_index, edge_weight, num_nodes):
     """deg^-1/2[row] * w * deg^-1/2[col] with out-degree by row."""
     deg = np.zeros(num_nodes)
-    np.add.at(deg, edge_index[0], edge_weight)
+    deg = deg + np.bincount(edge_index[0], weights=edge_weight,
+                            minlength=len(deg))
     dinv = np.zeros_like(deg)
     nz = deg > 0
     dinv[nz] = deg[nz] ** -0.5
@@ -110,7 +111,8 @@ def appr_directed_adj(alpha: float, edge_index, num_nodes: Optional[int],
     edge_index, edge_weight = _add_self_loops(edge_index, edge_weight, num_nodes)
 
     deg = np.zeros(num_nodes)
-    np.add.at(deg, edge_index[0], edge_weight)
+    deg = deg + np.bincount(edge_index[0], weights=edge_weight,
+                            minlength=len(deg))
     deg_inv = np.zeros_like(deg)
     nz = deg > 0
     deg_inv[nz] = 1.0 / deg[nz]
@@ -155,7 +157,8 @@ def second_directed_adj(edge_index, num_nodes: Optional[int],
     edge_index, edge_weight = _add_self_loops(edge_index, edge_weight, num_nodes)
 
     deg = np.zeros(num_nodes)
-    np.add.at(deg, edge_index[0], edge_weight)
+    deg = deg + np.bincount(edge_index[0], weights=edge_weight,
+                            minlength=len(deg))
     deg_inv = np.zeros_like(deg)
     nz = deg > 0
     deg_inv[nz] = 1.0 / deg[nz]

@@ -119,8 +119,7 @@ def _laplacian_core(
         deg_w = abs_sym
     else:
         deg_w = np.abs(sym)
-    deg = np.zeros(num_nodes)
-    np.add.at(deg, row, deg_w)
+    deg = np.bincount(row, weights=deg_w, minlength=num_nodes)
 
     phase = np.exp(1j * 2 * np.pi * q * theta)
 

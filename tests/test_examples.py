@@ -71,3 +71,43 @@ def test_link_sign_prediction_sgcn(capsys):
                 ["--dataset", "bitcoin_alpha", "--epochs", "3",
                  "--emb_dim", "8"])
     assert "auc" in capsys.readouterr().out
+
+
+def test_dgcn_link_synthetic(capsys):
+    run_example("dgcn_link.py",
+                ["--dataset", "synthetic", "--num_nodes", "80",
+                 "--epochs", "3", "--splits", "1"])
+    assert "mean test acc" in capsys.readouterr().out
+
+
+def test_digcn_link_synthetic(capsys):
+    run_example("digcn_link.py",
+                ["--dataset", "synthetic", "--num_nodes", "80",
+                 "--epochs", "3", "--splits", "1"])
+    assert "mean test acc" in capsys.readouterr().out
+
+
+def test_digcn_inception_link_synthetic(capsys):
+    run_example("digcn_inception_link.py",
+                ["--dataset", "synthetic", "--num_nodes", "80",
+                 "--epochs", "3", "--splits", "1"])
+    assert "mean test acc" in capsys.readouterr().out
+
+
+def test_msgnn_node_synthetic(capsys):
+    run_example("msgnn_node.py",
+                ["--dataset", "synthetic", "--num_nodes", "150",
+                 "--epochs", "3"])
+    assert "mean test acc" in capsys.readouterr().out
+
+
+@pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+def test_dgcn_node_telegram(capsys):
+    run_example("dgcn_node.py", ["--epochs", "3"])
+    assert "mean test acc" in capsys.readouterr().out
+
+
+@pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+def test_digcl_link_telegram(capsys):
+    run_example("digcl_link.py", ["--epochs", "3"])
+    assert "test acc" in capsys.readouterr().out
