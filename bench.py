@@ -86,11 +86,13 @@ def main():
     avg_deg = 24
     import jax
     from pytorch_geometric_signed_directed_tpu.ops.spmm import (
-        set_matmul_precision)
+        set_matmul_precision, set_message_dtype)
 
-    # TPU-conventional training precision (bf16 MXU passes, f32 accumulate):
-    # 1.8x over the parity-grade HIGHEST setting used in the allclose tests.
+    # TPU-conventional training precision (bf16 MXU passes and bf16 message
+    # storage, f32 accumulation everywhere): 1.8x over the parity-grade
+    # HIGHEST setting used in the allclose tests.
     set_matmul_precision("default")
+    set_message_dtype("bf16")
     model, x, lap, y, e = _build(n, avg_deg, mode="auto")
     dt = _time_train(model, x, lap, y)
     edges_per_s = e / dt
