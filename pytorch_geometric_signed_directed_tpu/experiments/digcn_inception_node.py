@@ -49,23 +49,42 @@ def main(argv=None):
         num_features=x.shape[1], hidden=args.hidden,
         label_dim=label_dim, dropout=args.dropout)
 
-    def loss_fn(p, train_mask):
-        logp = model.apply(p, x, P1, P2)
+    def masked_nll(logp, train_mask):
         per_node = -logp[jnp.arange(x.shape[0]), y] * train_mask
         return per_node.sum() / jnp.maximum(train_mask.sum(), 1.0)
 
-    trainer = Trainer(loss_fn, lr=args.lr)
+    if args.dropout > 0:
+        def loss_fn(p, key, train_mask):
+            logp = model.apply(p, x, P1, P2, True, rngs={"dropout": key})
+            return masked_nll(logp, train_mask)
+    else:
+        def loss_fn(p, train_mask):
+            return masked_nll(model.apply(p, x, P1, P2), train_mask)
+
+    def accuracy(p, mask):
+        pred = np.asarray(model.apply(p, x, P1, P2)).argmax(1)
+        return (pred[mask] == np.asarray(data.y)[mask]).mean()
+
+    trainer = Trainer(loss_fn, lr=args.lr,
+                      rng=args.seed if args.dropout > 0 else None)
     accs = []
     for split in range(data.train_mask.shape[1]):
         train_mask = jnp.asarray(data.train_mask[:, split].astype(np.float32))
+        val_idx = np.nonzero(data.val_mask[:, split])[0]
         test_idx = np.nonzero(data.test_mask[:, split])[0]
         params = model.init(jax.random.PRNGKey(args.seed + split), x, P1, P2)
-        state = trainer.fit(trainer.init(params), lambda: (train_mask,),
-                            args.epochs)
-        pred = np.asarray(model.apply(state.params, x, P1, P2)).argmax(1)
-        acc = (pred[test_idx] == np.asarray(data.y)[test_idx]).mean()
-        accs.append(acc)
-        print(f"split {split}: test acc {acc:.4f}")
+        state = trainer.init(params)
+        best_val, best_test = -1.0, 0.0
+        eval_every = max(args.epochs // 50, 1)
+        for epoch in range(args.epochs):
+            trainer.step(state, train_mask)
+            if (epoch + 1) % eval_every == 0:
+                vacc = accuracy(state.params, val_idx)
+                if vacc > best_val:
+                    best_val = vacc
+                    best_test = accuracy(state.params, test_idx)
+        accs.append(best_test)
+        print(f"split {split}: test acc {best_test:.4f} (val {best_val:.4f})")
     print(f"mean test acc: {np.mean(accs):.4f} +/- {np.std(accs):.4f}")
 
 
