@@ -42,38 +42,57 @@ def fast_appr_power(A: sp.spmatrix, alpha: float = 0.1, max_iter: int = 100,
                     tol: float = 1e-6, personalize=None):
     """Power-iteration PageRank + pi-symmetrized PPR operator.
 
-    Returns (L, pi) with L = (Pi^1/2 P Pi^-1/2 + Pi^-1/2 P^T Pi^1/2)/2.
-    Reference: get_adjs_DiGCN.py:10-56.
+    Returns (L, pi) with L = (Pi^1/2 P Pi^-1/2 + Pi^-1/2 P^T Pi^1/2)/2 for
+    the row-stochastic P = D^-1 A.  Matches the numerics of the reference's
+    lazy-teleport formulation (get_adjs_DiGCN.py:10-56): the walk damps by
+    (1-alpha)/(1+alpha)-style weights with every node teleporting at rate
+    alpha*(1+alpha) and dangling nodes dumping their whole transition mass
+    into the restart distribution.
+
+    Implementation is flat-vector / scaled-CSR: P is built by scaling CSR
+    data with the inverse out-degree, the iteration runs on 1-D vectors
+    (the teleport term is a scalar dot), and the symmetrization uses the
+    transpose identity  Pi^-1/2 P^T Pi^1/2 = (Pi^1/2 P Pi^-1/2)^T  so one
+    COO data-scaling + (M + M^T)/2 replaces four diagonal matmuls.
     """
     n = A.shape[0]
-    r = np.asarray(A.sum(axis=1)).reshape(-1)
-    k = r.nonzero()[0]
-    D_1 = sp.csr_matrix((1 / r[k], (k, k)), shape=(n, n))
+    A = sp.csr_matrix(A)
+    out_deg = np.asarray(A.sum(axis=1)).ravel().astype(np.float64)
+    dangling = out_deg == 0.0
+    inv_deg = np.divide(1.0, out_deg, out=np.zeros_like(out_deg),
+                        where=~dangling)
+
+    # restart distribution and per-node teleport weights
     if personalize is None:
-        personalize = np.ones(n)
-    personalize = personalize.reshape(n, 1)
-    s = 1 / (1 + alpha) / n * personalize
-    z_T = ((alpha * (1 + alpha)) * (r != 0)
-           + ((1 - alpha) / (1 + alpha) + alpha * (1 + alpha)) * (r == 0)
-           )[np.newaxis, :]
-    W = (1 - alpha) * A.T @ D_1
-    x = s
-    oldx = np.zeros((n, 1))
-    iteration = 0
-    while scipy.linalg.norm(x - oldx) > tol:
-        oldx = x
-        x = W @ x + s @ (z_T @ x)
-        iteration += 1
-        if iteration >= max_iter:
+        restart = np.full(n, 1.0 / (n * (1.0 + alpha)))
+    else:
+        restart = np.asarray(personalize, np.float64).ravel() \
+            / (n * (1.0 + alpha))
+    teleport = np.full(n, alpha * (1.0 + alpha))
+    teleport[dangling] += (1.0 - alpha) / (1.0 + alpha)
+
+    # row-stochastic transition, rows scaled in CSR data (dangling rows
+    # stay empty — their mass flows through `teleport` instead)
+    P = A.multiply(inv_deg[:, None]).tocsr()
+    PT = P.T.tocsr()
+
+    pi = restart.copy()
+    for _ in range(max_iter):
+        nxt = (1.0 - alpha) * (PT @ pi) + float(teleport @ pi) * restart
+        done = np.linalg.norm(nxt - pi) <= tol
+        pi = nxt
+        if done:
             break
-    x = x / sum(x)
-    x = x.reshape(-1)
-    p = D_1 @ A
-    pi_sqrt = sp.diags(np.power(x, 0.5))
-    pi_inv_sqrt = sp.diags(np.power(x, -0.5))
-    L = (pi_sqrt @ p @ pi_inv_sqrt + pi_inv_sqrt @ p.T @ pi_sqrt) / 2.0
-    L.data[np.isnan(L.data)] = 0.0
-    return L, x
+    pi = pi / pi.sum()
+
+    scale = np.sqrt(np.maximum(pi, 0.0))
+    inv_scale = np.divide(1.0, scale, out=np.zeros_like(scale),
+                          where=scale > 0)
+    M = P.tocoo(copy=True)
+    M.data = M.data * scale[M.row] * inv_scale[M.col]
+    M.data[~np.isfinite(M.data)] = 0.0
+    L = ((M + M.T) * 0.5).tocsr()
+    return L, pi
 
 
 def cal_fast_appr(alpha: float, edge_index, num_nodes: Optional[int],

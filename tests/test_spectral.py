@@ -148,6 +148,39 @@ class TestAppr:
         assert out_ei.shape[0] == 2 and len(out_w) == out_ei.shape[1]
         assert np.isfinite(out_w).all()
 
+    def test_fast_appr_power_vs_dense_math(self):
+        """fast_appr_power against a dense from-the-definition evaluation
+        of the same lazy-teleport PageRank + pi-symmetrization."""
+        from pytorch_geometric_signed_directed_tpu.spectral.appr import (
+            fast_appr_power,
+        )
+
+        rng = np.random.default_rng(21)
+        n, alpha = 24, 0.15
+        A = (rng.random((n, n)) < 0.12).astype(np.float64)
+        np.fill_diagonal(A, 0)
+        A[3] = 0.0  # a dangling node
+        A_sp = sp.csr_matrix(A)
+
+        # dense evaluation, straight from the definition
+        deg = A.sum(1)
+        P = np.divide(A, deg[:, None], out=np.zeros_like(A),
+                      where=deg[:, None] > 0)
+        restart = np.full(n, 1.0 / (n * (1 + alpha)))
+        z = np.where(deg > 0, alpha * (1 + alpha),
+                     alpha * (1 + alpha) + (1 - alpha) / (1 + alpha))
+        pi = restart.copy()
+        for _ in range(500):
+            pi = (1 - alpha) * P.T @ pi + (z @ pi) * restart
+        pi = pi / pi.sum()
+        M = np.sqrt(pi)[:, None] * P / np.sqrt(pi)[None, :]
+        L_expect = (M + M.T) / 2
+
+        L, pi_got = fast_appr_power(A_sp, alpha=alpha, tol=1e-12,
+                                    max_iter=1000)
+        np.testing.assert_allclose(pi_got, pi, atol=1e-9)
+        np.testing.assert_allclose(L.toarray(), L_expect, atol=1e-9)
+
 
 class TestFeatures:
     def test_create_spectral_features_shape(self):
