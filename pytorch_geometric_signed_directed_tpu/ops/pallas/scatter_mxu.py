@@ -153,19 +153,22 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
                 num_edges=e, num_rows=num_rows)
 
 
-def build_scatter_plan(row, num_rows: int, chunk: Optional[int] = None,
-                       window: Optional[int] = None) -> ScatterPlan:
-    """row: destination ids of the valid edges (host numpy)."""
-    h = _build_plan_host(row, num_rows, chunk, window)
+def _plan_from_host(h) -> Tuple[ScatterPlan, np.ndarray]:
     plan = ScatterPlan(
         local_rows=jnp.asarray(h["lr"].reshape(-1, SUB)),
         global_rows=jnp.asarray(h["gr"]),
         win=jnp.asarray(h["win"]),
         visited=jnp.asarray(h["visited"]),
-        num_rows=num_rows, num_windows=h["num_windows"],
+        num_rows=h["num_rows"], num_windows=h["num_windows"],
         num_edges=h["num_edges"], window=h["window"],
     )
     return plan, h["perm"]
+
+
+def build_scatter_plan(row, num_rows: int, chunk: Optional[int] = None,
+                       window: Optional[int] = None) -> ScatterPlan:
+    """row: destination ids of the valid edges (host numpy)."""
+    return _plan_from_host(_build_plan_host(row, num_rows, chunk, window))
 
 
 @struct.dataclass
@@ -191,40 +194,24 @@ class StreamPlan:
     edges_per_block: int = struct.field(pytree_node=False)
 
 
-def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
-                      chunk: Optional[int] = None,
-                      window: Optional[int] = None):
-    """Group plan chunks into window-aligned blocks of bounded edge count.
+def _stream_from_host(h, max_edges_per_block: int):
+    """Split the plan's chunk sequence into S evenly-sized blocks.
 
-    Returns (StreamPlan, perm) where perm is [S * edges_per_block] with -1
-    for padding — feed to permute_edge_data and reshape the results to
-    [S, edges_per_block].
+    A window's chunk run MAY straddle a block boundary: the aliased
+    accumulate kernel copies the prior buffer contents on each window's
+    first chunk within a block, so a window written by consecutive blocks
+    accumulates correctly across the lax.scan carry.  This keeps every
+    block at the byte bound even when a single hub window holds more than
+    max_edges_per_block edges (which window-aligned packing would have to
+    put in one oversized block).
     """
-    h = _build_plan_host(row, num_rows, chunk, window)
     chunk_sz, window_sz = h["chunk"], h["window"]
     win = h["win"]
     n_chunks = len(win)
     cap = max(1, max_edges_per_block // chunk_sz)
-    # balance block sizes: padding every block to the largest one gathers
-    # (and scatters) the padding as real work, so aim for equal blocks
-    # rather than cap-sized blocks with a small remainder
-    n_blocks = max(1, -(-n_chunks // cap))
-    target = -(-n_chunks // n_blocks)
-
-    # greedy pack whole windows (runs of equal win id) into blocks
-    run_ends = np.flatnonzero(np.diff(win)) + 1
-    runs = np.split(np.arange(n_chunks), run_ends)  # chunk idx per window
-    blocks, cur = [], []
-    for r in runs:
-        if cur and len(cur) + len(r) > target:
-            blocks.append(cur)
-            cur = []
-        cur = cur + list(r)
-    if cur:
-        blocks.append(cur)
-
+    s = max(1, -(-n_chunks // cap))
+    blocks = np.array_split(np.arange(n_chunks), s)
     c_blk = max(len(b) for b in blocks)
-    s = len(blocks)
     sub = chunk_sz // SUB
     lr = h["lr"].reshape(n_chunks, chunk_sz)
     perm2 = h["perm"].reshape(n_chunks, chunk_sz)
@@ -243,11 +230,24 @@ def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
         win=jnp.asarray(win_b),
         local_rows=jnp.asarray(lr_b.reshape(s, c_blk * sub, SUB)),
         visited=jnp.asarray(h["visited"]),
-        num_rows=num_rows, num_windows=h["num_windows"], window=window_sz,
-        num_edges=h["num_edges"],
+        num_rows=h["num_rows"], num_windows=h["num_windows"],
+        window=window_sz, num_edges=h["num_edges"],
         edges_per_block=c_blk * chunk_sz,
     )
     return plan, perm_b.reshape(-1)
+
+
+def build_stream_plan(row, num_rows: int, max_edges_per_block: int,
+                      chunk: Optional[int] = None,
+                      window: Optional[int] = None):
+    """Group plan chunks into blocks of bounded edge count.
+
+    Returns (StreamPlan, perm) where perm is [S * edges_per_block] with -1
+    for padding — feed to permute_edge_data and reshape the results to
+    [S, edges_per_block].
+    """
+    return _stream_from_host(_build_plan_host(row, num_rows, chunk, window),
+                             max_edges_per_block)
 
 
 def streamed_scatter(stream: StreamPlan, col_blocks, make_msgs, x,
@@ -466,9 +466,12 @@ def _bwd(plan, g):
 scatter_sum.defvjp(_fwd, _bwd)
 
 
-# Graphs whose plan exceeds this many (padded) edges execute in streamed
-# blocks: one [E, f<=128] f32 message array costs E x 512 bytes of HBM
-# (lane-tile padding), which exceeds the chip's HBM near E ~ 30M.
+# Plans whose PADDED edge count (the flat plan layout, chunk padding
+# included — what actually gets gathered and scattered) exceeds this
+# execute in streamed blocks: one [E, f<=128] f32 message array costs
+# E x 512 bytes of HBM (lane-tile padding), which exceeds the chip's HBM
+# near E ~ 30M.  Builders construct the host plan first and compare its
+# padded size, so the bound holds regardless of padding inflation.
 STREAM_THRESHOLD_EDGES = 8_000_000
 STREAM_BLOCK_EDGES = 4_000_000
 
@@ -503,15 +506,16 @@ def mxu_from_coo(A, with_transpose: bool = True,
     val = np.asarray(A.val)[: A.nnz]
 
     def build(r, c, n_rows, n_cols, t):
-        if A.nnz > stream_threshold:
-            stream, perm = build_stream_plan(r, n_rows, stream_block_edges)
+        h = _build_plan_host(r, n_rows)
+        if len(h["perm"]) > stream_threshold:   # padded plan size
+            stream, perm = _stream_from_host(h, stream_block_edges)
             c_p, v_p = permute_edge_data(perm, np.asarray(c, np.int32),
                                          val.astype(np.float32))
             s = stream.win.shape[0]
             return MXUCoo(plan=None, col=jnp.asarray(c_p).reshape(s, -1),
                           val=jnp.asarray(v_p).reshape(s, -1),
                           num_cols=n_cols, transposed=t, stream=stream)
-        plan, perm = build_scatter_plan(r, n_rows)
+        plan, perm = _plan_from_host(h)
         c_p, v_p = permute_edge_data(perm, np.asarray(c, np.int32),
                                      val.astype(np.float32))
         return MXUCoo(plan=plan, col=jnp.asarray(c_p), val=jnp.asarray(v_p),

@@ -249,14 +249,15 @@ def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
         from .pallas.scatter_mxu import (
             STREAM_BLOCK_EDGES,
             STREAM_THRESHOLD_EDGES,
-            build_scatter_plan,
-            build_stream_plan,
+            _build_plan_host,
+            _plan_from_host,
+            _stream_from_host,
             permute_edge_data,
         )
 
-        if len(row) > STREAM_THRESHOLD_EDGES:
-            stream, perm = build_stream_plan(row, num_nodes,
-                                             STREAM_BLOCK_EDGES)
+        h = _build_plan_host(row, num_nodes)
+        if len(h["perm"]) > STREAM_THRESHOLD_EDGES:   # padded plan size
+            stream, perm = _stream_from_host(h, STREAM_BLOCK_EDGES)
             col_p, va_p, vb_p = permute_edge_data(
                 perm, col.astype(np.int32), val_a, val_b)
             s = stream.win.shape[0]
@@ -266,7 +267,7 @@ def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
                 val_b=jnp.asarray(vb_p).reshape(s, -1),
                 plan=None, num_nodes=num_nodes, num_cols=num_cols,
                 mode="mxu", transposed=t, stream=stream)
-        plan, perm = build_scatter_plan(row, num_nodes)
+        plan, perm = _plan_from_host(h)
         col_p, va_p, vb_p = permute_edge_data(
             perm, col.astype(np.int32), val_a, val_b)
         return DualPropagator(
@@ -294,6 +295,10 @@ def dual_spmm_stacked(D: DualPropagator, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _dual_forward_stacked(D, x):
+    if x.shape[1] % 2:
+        raise ValueError(
+            f"dual_spmm_stacked needs an even lane-stacked width, got "
+            f"{x.shape[1]}")
     fa = x.shape[1] // 2
     lane = jnp.arange(2 * fa) < fa
     # reduced-precision message storage only on the mxu tier, where the
@@ -340,6 +345,11 @@ dual_spmm_stacked.defvjp(_dual_fwd, _dual_bwd)
 
 def dual_spmm(D: DualPropagator, x_a: jnp.ndarray, x_b: jnp.ndarray):
     """(A x_a, B x_b) for same-structure A, B — one gather, one scatter."""
+    if x_a.shape[1] != x_b.shape[1]:
+        raise ValueError(
+            f"dual_spmm operands must share a feature width (the lane "
+            f"split assigns val_a/val_b by halves); got {x_a.shape[1]} "
+            f"vs {x_b.shape[1]}")
     fa = x_a.shape[1]
     out = dual_spmm_stacked(D, jnp.concatenate([x_a, x_b], axis=1))
     return out[:, :fa], out[:, fa:]

@@ -241,11 +241,13 @@ def magnet_propagators(
 
     dual = dual_propagator(row, col, vre, vim, num_nodes, mode=mode)
     # When the fused dual exists it carries the hot path (MagNetConv /
-    # MSConv use it exclusively); the standalone re/im operators are kept
-    # for API completeness on the cheap-to-build segment tier instead of
+    # MSConv use it exclusively); under mode="auto" the standalone re/im
+    # operators are kept on the cheap-to-build segment tier instead of
     # paying four more mxu plan constructions (~2/3 of preprocessing time
-    # at WikiTalk scale).
-    single_mode = "segment" if dual is not None else mode
+    # at WikiTalk scale).  An explicitly requested mode is honored for the
+    # standalone operators too (consumers of pair.re / pair.im directly).
+    single_mode = ("segment" if (dual is not None and mode == "auto")
+                   else mode)
     A_re = build_coo(row, col, vre, num_nodes)
     A_im = build_coo(row, col, vim, num_nodes)
     return MagneticPair(

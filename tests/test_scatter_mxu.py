@@ -226,6 +226,52 @@ def test_streamed_dual_propagator():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_streamed_hub_window_straddles_blocks():
+    """A hub row with more edges than a whole block must not inflate the
+    block size: its window run straddles blocks, and cross-block
+    accumulation through the aliased carry stays exact."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    n, cap = 2000, 8192
+    hub_e = 3 * cap  # one window, three blocks worth of edges
+    row = np.concatenate([np.full(hub_e, 77), rng.integers(0, n, 6000)])
+    col = np.concatenate([rng.integers(0, n, hub_e),
+                          rng.integers(0, n, 6000)])
+    val = rng.standard_normal(len(row)).astype(np.float32)
+    S = sp.coo_matrix((val, (row, col)), shape=(n, n)).tocsr()
+    A = build_coo(row, col, val, n)
+    M = mxu_from_coo(A, stream_threshold=5000, stream_block_edges=cap)
+    assert M.stream is not None
+    # bounded: no block may exceed the cap by more than one chunk
+    assert M.stream.edges_per_block <= cap + 8192
+    assert M.stream.win.shape[0] >= 3
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    out = np.asarray(mxu_spmm(M, x))
+    np.testing.assert_allclose(out, S @ np.asarray(x), rtol=1e-4, atol=1e-4)
+    g = jax.grad(lambda xx: (mxu_spmm(M, xx) ** 2).sum())(x)
+    g_ref = jax.grad(lambda xx: ((jnp.asarray(S.toarray()) @ xx) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_dual_spmm_width_mismatch_raises():
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_propagator, dual_spmm, dual_spmm_stacked)
+
+    rng = np.random.default_rng(5)
+    n, e = 100, 400
+    D = dual_propagator(rng.integers(0, n, e), rng.integers(0, n, e),
+                        np.ones(e, np.float32), np.ones(e, np.float32),
+                        n, mode="segment")
+    xa = jnp.ones((n, 8), np.float32)
+    xb = jnp.ones((n, 6), np.float32)
+    with pytest.raises(ValueError, match="feature width"):
+        dual_spmm(D, xa, xb)
+    with pytest.raises(ValueError, match="even"):
+        dual_spmm_stacked(D, jnp.ones((n, 7), np.float32))
+
+
 def test_bf16_message_dtype_close_to_f32():
     from pytorch_geometric_signed_directed_tpu.ops import spmm as spmm_mod
 
