@@ -106,7 +106,7 @@ class Propagator:
             return self.dense.shape[0]
         if self.mode == "bsr":
             return self.bsr.num_rows
-        if self.mode == "mxu":
+        if self.mode in ("mxu", "mxu_sharded"):
             return self.mxu.num_rows
         return self.coo.num_nodes
 
@@ -132,6 +132,12 @@ class Propagator:
             from .pallas.scatter_mxu import mxu_spmm
 
             return mxu_spmm(self.mxu, x)
+        if self.mode == "mxu_sharded":
+            # multi-chip: per-device Pallas scatter plans under shard_map
+            # (parallel.mxu_shard); self.mxu holds a ShardedMXU
+            from ..parallel.mxu_shard import sharded_mxu_spmm
+
+            return sharded_mxu_spmm(self.mxu, x)
         return spmm_coo(self.coo, x)
 
 
@@ -299,6 +305,10 @@ def _dual_forward_stacked(D, x):
         raise ValueError(
             f"dual_spmm_stacked needs an even lane-stacked width, got "
             f"{x.shape[1]}")
+    if D.mode == "mxu_sharded":
+        from ..parallel.mxu_shard import sharded_mxu_spmm
+
+        return sharded_mxu_spmm(D.plan, x)
     fa = x.shape[1] // 2
     lane = jnp.arange(2 * fa) < fa
     # reduced-precision message storage only on the mxu tier, where the

@@ -15,8 +15,12 @@ from .sharded import (
     shard_magnet_laplacian,
 )
 from .edge_spmm import PartitionedCOO, partition_coo, place, sharded_spmm
+from .mxu_shard import ShardedMXU, build_sharded_mxu, sharded_mxu_spmm
 
 __all__ = [
+    "ShardedMXU",
+    "build_sharded_mxu",
+    "sharded_mxu_spmm",
     "make_mesh",
     "local_mesh",
     "replicate",

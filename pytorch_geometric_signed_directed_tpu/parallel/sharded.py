@@ -55,10 +55,15 @@ def shard_propagator(prop: Propagator, mesh: Mesh,
         )
         return Propagator(coo=coo, dense=None, bsr=None, mode="segment")
     if prop.mode == "mxu":
-        raise ValueError(
-            "mxu-tier propagators are single-chip; for multi-chip use "
-            "parallel.partition_coo + sharded_spmm (owner-computes) or the "
-            "segment/dense tiers")
+        # re-partition the flagship Pallas tier: per-device scatter plans
+        # over the owner-computes row partition, kernel under shard_map
+        from .mxu_shard import _coo_from_mxu, build_sharded_mxu
+
+        row, col, val = _coo_from_mxu(prop.mxu)
+        S = build_sharded_mxu(row, col, val, prop.mxu.num_rows,
+                              prop.mxu.num_cols, mesh, axis)
+        return Propagator(coo=None, dense=None, bsr=None, mxu=S,
+                          mode="mxu_sharded")
     if prop.mode == "bsr":
         bsr = prop.bsr
         bs = NamedSharding(mesh, P(axis, None, None))
@@ -81,12 +86,32 @@ def shard_propagator(prop: Propagator, mesh: Mesh,
 
 
 def shard_dual(dual, mesh: Mesh, axis: str = "graph"):
-    """Shard a fused DualPropagator's edge arrays (segment mode only —
-    the mxu tier's scatter plan is single-chip; multi-chip drops to the
-    segment dual, whose sorted segment-sum GSPMD partitions cleanly)."""
+    """Shard a fused DualPropagator.
+
+    mxu duals are re-partitioned into per-device scatter plans run under
+    shard_map (parallel.mxu_shard); segment duals shard their sorted edge
+    arrays under GSPMD."""
     from ..ops.spmm import DualPropagator
 
-    if dual is None or dual.mode != "segment":
+    if dual is None:
+        return None
+    if dual.mode == "mxu":
+        from .mxu_shard import _coo_from_dual, build_sharded_mxu
+
+        row, col, va, vb = _coo_from_dual(dual)
+        S = build_sharded_mxu(row, col, va, dual.num_nodes, dual.num_cols,
+                              mesh, axis, val_b=vb)
+
+        def wrap(s):
+            if s is None:
+                return None
+            return DualPropagator(
+                col=None, row=None, val_a=None, val_b=None, plan=s,
+                num_nodes=s.num_rows, num_cols=s.num_cols,
+                mode="mxu_sharded", transposed=wrap(s.transposed))
+
+        return wrap(S)
+    if dual.mode != "segment":
         return None
     es = _edge_sharding(mesh, axis)
 
