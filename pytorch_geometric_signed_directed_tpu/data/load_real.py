@@ -61,8 +61,73 @@ def _coo_data(adj: sp.spmatrix):
     return edge_index, coo.data.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Processed-array caching: parse/split once, npz thereafter.
+#
+# The reference persists processed tensors through PyG's InMemoryDataset
+# (e.g. data/directed/citation.py:32-34,70: torch.save on first process,
+# torch.load afterwards); at slashdot/epinions scale re-parsing the raw CSV
+# on every construction costs minutes.  Here the loader's primitive arrays
+# (edges, weights, features, labels, split masks) go to one npz next to the
+# raw data; a second construction is O(file read).
+# Set PGSD_TPU_NO_CACHE=1 to disable.
+
+_CACHE_FIELDS = ("edge_index", "edge_weight", "x", "y", "train_mask",
+                 "val_mask", "test_mask", "seed_mask", "stopping_mask")
+
+
+def _cache_path(name: str, root: Optional[str]) -> Optional[str]:
+    if os.environ.get("PGSD_TPU_NO_CACHE"):
+        return None
+    # the dispatchers default to root="./" — that's cwd, not a dataset
+    # directory; fall through to $PGSD_TPU_DATA / ./datasets for the cache
+    if root and os.path.abspath(root) == os.path.abspath("."):
+        root = None
+    for base in ([root] if root else []) + [
+            os.environ.get("PGSD_TPU_DATA", ""), "datasets"]:
+        if not base or base == "/root/reference/datasets":
+            continue
+        try:
+            d = os.path.join(base, "processed")
+            os.makedirs(d, exist_ok=True)
+            return os.path.join(d, f"{name}.npz")
+        except OSError:
+            continue
+    return None
+
+
+def _cached(name: str, root: Optional[str], cls, build):
+    """Return cls rebuilt from the npz cache, or build() + save."""
+    path = _cache_path(name, root)
+    if path and os.path.isfile(path):
+        with np.load(path) as z:
+            arrays = {k: z[k] for k in z.files}
+        data = cls(edge_index=arrays.pop("edge_index"),
+                   edge_weight=arrays.pop("edge_weight", None),
+                   x=arrays.pop("x", None), y=arrays.pop("y", None))
+        for k, v in arrays.items():
+            setattr(data, k, v)
+        return data
+    data = build()
+    if path:
+        arrays = {}
+        for k in _CACHE_FIELDS:
+            v = getattr(data, k, None)
+            if v is not None:
+                arrays[k] = np.asarray(v)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    return data
+
+
 def SDGNN_real_data(name: str, root: Optional[str] = None) -> SignedData:
     """CSV edge-list loader (bitcoin_alpha/otc, wiki, slashdot, epinions)."""
+    return _cached(f"sdgnn_{name.lower()}", root, SignedData,
+                   lambda: _sdgnn_build(name, root))
+
+
+def _sdgnn_build(name: str, root: Optional[str]) -> SignedData:
     fname = {"bitcoin_alpha": "bitcoin_alpha.csv",
              "bitcoin_otc": "bitcoin_otc.csv",
              "wiki": "wikirfa.csv",
@@ -99,6 +164,11 @@ def SDGNN_real_data(name: str, root: Optional[str] = None) -> SignedData:
 def SSSNET_real_data(name: str, root: Optional[str] = None) -> SignedData:
     """npz-adjacency + npy-labels loader (sampson, wikirfa, rainfall,
     sp1500, ppi, fin_ynet20xx)."""
+    return _cached(f"sssnet_{name.lower()}", root, SignedData,
+                   lambda: _sssnet_build(name, root))
+
+
+def _sssnet_build(name: str, root: Optional[str]) -> SignedData:
     lname = name.lower()
     dirmap = {"sampson": "Sampson", "ppi": "PPI", "sp1500": "SP1500",
               "rainfall": "rainfall", "wikirfa": "wikirfa"}
@@ -124,6 +194,13 @@ def MSGNN_real_data(name: str, root: Optional[str] = None,
     if not (0 < sparsify_level <= 1):
         raise ValueError("Sparsify level should be greater than 0 and less "
                          f"than 1 but got {sparsify_level}!")
+    return _cached(f"msgnn_{name.lower()}_s{sparsify_level}", root,
+                   SignedData, lambda: _msgnn_build(name, root,
+                                                    sparsify_level))
+
+
+def _msgnn_build(name: str, root: Optional[str],
+                 sparsify_level: float) -> SignedData:
     fname = name[5:] + ".npy"  # e.g. FiLL-pvCLCL2000 -> pvCLCL2000.npy
     adj = np.load(_resolve(f"FiLL/{fname}", root)).copy()
     if sparsify_level < 1:
@@ -136,14 +213,23 @@ def MSGNN_real_data(name: str, root: Optional[str] = None,
 
 def DIGRAC_real_data(name: str, root: Optional[str] = None) -> DirectedData:
     """npz loader for blog / wikitalk / migration / lead_lag20xx."""
-    adj = sp.load_npz(_resolve(f"{name}.npz", root))
-    edge_index, edge_weight = _coo_data(adj)
-    return DirectedData(edge_index=edge_index, edge_weight=edge_weight)
+
+    def build():
+        adj = sp.load_npz(_resolve(f"{name}.npz", root))
+        edge_index, edge_weight = _coo_data(adj)
+        return DirectedData(edge_index=edge_index, edge_weight=edge_weight)
+
+    return _cached(f"digrac_{name.lower()}", root, DirectedData, build)
 
 
 def Telegram(root: Optional[str] = None) -> DirectedData:
     """Telegram graph with baked-in 60/20/20 per-class split and N(0,1)
     features (reference Telegram.py:53-70)."""
+    return _cached("telegram", root, DirectedData,
+                   lambda: _telegram_build(root))
+
+
+def _telegram_build(root: Optional[str]) -> DirectedData:
     A = sp.load_npz(_resolve("telegram/telegram_adj.npz", root))
     label = np.load(_resolve("telegram/telegram_labels.npy", root))
     rs = np.random.RandomState(seed=0)
@@ -157,6 +243,11 @@ def Telegram(root: Optional[str] = None) -> DirectedData:
 
 
 def _citation(fname: str, root: Optional[str]) -> DirectedData:
+    return _cached(fname.split(".")[0], root, DirectedData,
+                   lambda: _citation_build(fname, root))
+
+
+def _citation_build(fname: str, root: Optional[str]) -> DirectedData:
     with np.load(_resolve(fname, root), allow_pickle=True) as loader:
         loader = dict(loader)
         adj = sp.csr_matrix(
@@ -207,6 +298,11 @@ def _geom_gcn(name: str, root: Optional[str]) -> DirectedData:
     """geom-gcn format: out1_node_feature_label.txt + out1_graph_edges.txt
     + 10 fixed split npz files (WebKB / WikipediaNetwork; reference
     WikipediaNetwork.py:63-92)."""
+    return _cached(f"geomgcn_{name}", root, DirectedData,
+                   lambda: _geom_gcn_build(name, root))
+
+
+def _geom_gcn_build(name: str, root: Optional[str]) -> DirectedData:
     nf = _fetch_url(f"{_GEOM_GCN_URL}/new_data/{name}/"
                     "out1_node_feature_label.txt",
                     f"{name}/out1_node_feature_label.txt", root)
@@ -256,6 +352,11 @@ def WikipediaNetwork(name: str, root: Optional[str] = None) -> DirectedData:
 
 def WikiCS(root: Optional[str] = None) -> DirectedData:
     """JSON loader (reference WikiCS.py:44-73)."""
+    return _cached("wikics", root, DirectedData,
+                   lambda: _wikics_build(root))
+
+
+def _wikics_build(root: Optional[str]) -> DirectedData:
     import json
     from itertools import chain
 

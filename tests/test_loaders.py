@@ -125,3 +125,56 @@ def test_transform_hooks():
     d = load_directed_real_data("telegram", transform=transform)
     assert calls == ["t"]
     assert d.extra_attr == 42
+
+
+class TestProcessedCache:
+    def test_csv_loader_caches_and_short_circuits(self, tmp_path,
+                                                  monkeypatch):
+        """Second construction must come from the processed npz (raw file
+        deleted between loads), matching the first load exactly."""
+        monkeypatch.setenv("PGSD_TPU_DATA", str(tmp_path))
+        raw = tmp_path / "bitcoin_alpha.csv"
+        rng = np.random.default_rng(0)
+        lines = [f"u{a},u{b},{w:.1f}"
+                 for a, b, w in zip(rng.integers(0, 30, 200),
+                                    rng.integers(0, 30, 200),
+                                    rng.choice([-1.0, 1.0, 3.0], 200))]
+        raw.write_text("\n".join(lines) + "\n")
+
+        d1 = load_signed_real_data("bitcoin_alpha", root=str(tmp_path))
+        assert (tmp_path / "processed" / "sdgnn_bitcoin_alpha.npz").exists()
+        raw.unlink()
+        d2 = load_signed_real_data("bitcoin_alpha", root=str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(d1.edge_index),
+                                      np.asarray(d2.edge_index))
+        np.testing.assert_array_equal(np.asarray(d1.edge_weight),
+                                      np.asarray(d2.edge_weight))
+
+    def test_cache_preserves_masks_and_features(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PGSD_TPU_DATA", str(tmp_path))
+        import scipy.sparse as sp
+        rng = np.random.default_rng(1)
+        n = 60
+        A = sp.random(n, n, density=0.2, random_state=2, format="csr")
+        tdir = tmp_path / "telegram"
+        tdir.mkdir()
+        sp.save_npz(tdir / "telegram_adj.npz", A.tocoo())
+        np.save(tdir / "telegram_labels.npy", rng.integers(0, 4, n))
+
+        from pytorch_geometric_signed_directed_tpu.data.load_real import (
+            Telegram)
+
+        d1 = Telegram(root=str(tmp_path))
+        d2 = Telegram(root=str(tmp_path))
+        np.testing.assert_array_equal(np.asarray(d1.train_mask),
+                                      np.asarray(d2.train_mask))
+        np.testing.assert_array_equal(np.asarray(d1.x), np.asarray(d2.x))
+        np.testing.assert_array_equal(np.asarray(d1.y), np.asarray(d2.y))
+
+    def test_no_cache_env_disables(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PGSD_TPU_DATA", str(tmp_path))
+        monkeypatch.setenv("PGSD_TPU_NO_CACHE", "1")
+        raw = tmp_path / "bitcoin_otc.csv"
+        raw.write_text("a,b,1.0\nb,c,-2.0\n")
+        load_signed_real_data("bitcoin_otc", root=str(tmp_path))
+        assert not (tmp_path / "processed").exists()
