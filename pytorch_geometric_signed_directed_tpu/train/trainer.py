@@ -84,9 +84,14 @@ class Trainer:
     def fit(self, state: TrainState, batch_fn: Callable[[], tuple],
             epochs: int, eval_fn: Optional[Callable] = None,
             eval_every: int = 10, patience: Optional[int] = None,
-            verbose: bool = False) -> TrainState:
+            verbose: bool = False, best_on_host: bool = True) -> TrainState:
         """batch_fn() -> loss args per step (host-side sampling lives here);
-        eval_fn(params) -> float metric (higher is better)."""
+        eval_fn(params) -> float metric (higher is better).
+
+        ``best_on_host``: keep the best-metric param snapshot in host
+        memory instead of HBM — at giant-graph scale an extra param pytree
+        on device competes with the streamed message blocks for HBM, and
+        the copy only happens on improvement."""
         bad = 0
         t0 = time.perf_counter()
         raw_losses = []
@@ -99,7 +104,8 @@ class Trainer:
                 state.history.setdefault("metric", []).append(metric)
                 if metric > state.best_metric:
                     state.best_metric = metric
-                    state.best_params = state.params
+                    state.best_params = (jax.device_get(state.params)
+                                         if best_on_host else state.params)
                     bad = 0
                 else:
                     bad += 1

@@ -290,4 +290,14 @@ def link_class_split(data, size: int = None, splits: int = 2,
             "test": {"edges": ids_test.astype(np.int64),
                      "label": labels_test.astype(np.int64)},
         }
+    if device is not None:
+        # honor the reference's .to(device) semantics
+        # (link_split.py:396-421): place every split array on the given
+        # jax device ("cpu"/"tpu" strings or a jax.Device both work)
+        import jax
+
+        if isinstance(device, str):
+            device = jax.devices(device)[0]
+        datasets = jax.tree.map(lambda a: jax.device_put(a, device),
+                                datasets)
     return datasets
