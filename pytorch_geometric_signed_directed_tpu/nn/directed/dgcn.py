@@ -54,6 +54,13 @@ class _DGCNTrunk(nn.Module):
 
 
 class DGCN_node_classification(nn.Module):
+    """DGCN node classification: Dense -> 3-stream conv over (symmetrized
+    A, 2nd-order in-A, 2nd-order out-A) with a shared parameter-free
+    DGCNConv, concat x3 + bias, 2 rounds, Dense head.
+
+    Reference: nn/directed/DGCN_node_classification.py:10-97.
+    """
+
     num_features: int
     hidden: int
     label_dim: int
@@ -68,6 +75,12 @@ class DGCN_node_classification(nn.Module):
 
 
 class DGCN_link_prediction(nn.Module):
+    """DGCN link prediction: same 3-stream trunk, query-edge concat ->
+    Dense(6*hidden).
+
+    Reference: nn/directed/DGCN_link_prediction.py:10-96.
+    """
+
     num_features: int
     hidden: int
     label_dim: int

@@ -47,6 +47,11 @@ _RRELU_SLOPE = (1.0 / 8 + 1.0 / 3) / 2
 
 
 class DiGCL_Encoder(nn.Module):
+    """GCN encoder for DiGCL (2+ conv layers over a PPR view).
+
+    Reference: nn/directed/DiGCL.py:7-57.
+    """
+
     in_channels: int
     out_channels: int
     activation: str = "relu"
@@ -67,6 +72,13 @@ class DiGCL_Encoder(nn.Module):
 
 
 class DiGCL(nn.Module):
+    """Directed graph contrastive learning (NeurIPS'21): encoder +
+    projection MLP with InfoNCE semi/batched losses between two PPR
+    views.
+
+    Reference: nn/directed/DiGCL.py:60-199.
+    """
+
     in_channels: int
     activation: str
     num_hidden: int

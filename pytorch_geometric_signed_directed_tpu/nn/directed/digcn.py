@@ -33,6 +33,12 @@ class DiGCNConv(nn.Module):
 
 
 class DiGCN_node_classification(nn.Module):
+    """DiGCN node classification (NeurIPS'20): 2 DiGCNConv layers over the
+    precomputed appr adjacency, dropout, log_softmax.
+
+    Reference: nn/directed/DiGCN_node_classification.py:7-46.
+    """
+
     num_features: int
     hidden: int
     label_dim: int
@@ -47,6 +53,12 @@ class DiGCN_node_classification(nn.Module):
 
 
 class DiGCN_link_prediction(nn.Module):
+    """DiGCN link prediction: 2 DiGCNConv layers + query-edge concat ->
+    Dense(2*hidden).
+
+    Reference: nn/directed/DiGCN_link_prediction.py:8-52.
+    """
+
     num_features: int
     hidden: int
     label_dim: int
@@ -77,6 +89,12 @@ class DiGCN_Inception_Block(nn.Module):
 
 
 class DiGCN_Inception_Block_node_classification(nn.Module):
+    """DiGCN inception node classification: 3 inception blocks with
+    per-branch dropout and sum fusion x0+x1+x2.
+
+    Reference: nn/directed/DiGCN_Inception_Block_node_classification.py:9-73.
+    """
+
     num_features: int
     hidden: int
     label_dim: int
@@ -99,6 +117,12 @@ class DiGCN_Inception_Block_node_classification(nn.Module):
 
 
 class DiGCN_Inception_Block_link_prediction(nn.Module):
+    """DiGCN inception link prediction: 3 inception blocks, sum fusion,
+    query-edge concat head.
+
+    Reference: nn/directed/DiGCN_Inception_Block_link_prediction.py:10-80.
+    """
+
     num_features: int
     hidden: int
     label_dim: int

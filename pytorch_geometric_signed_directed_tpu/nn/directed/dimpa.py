@@ -43,6 +43,13 @@ class DIMPA(nn.Module):
 
 
 class DIGRAC_node_clustering(nn.Module):
+    """DIGRAC clustering model (LoG'22): two 2-layer MLPs (source/target)
+    -> DIMPA -> linear head; returns (normalized embedding, log-prob,
+    argmax clusters, prob).
+
+    Reference: nn/directed/DIGRAC_node_clustering.py:10-89.
+    """
+
     num_features: int
     hidden: int
     nclass: int

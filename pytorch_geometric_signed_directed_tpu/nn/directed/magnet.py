@@ -18,6 +18,13 @@ Lap = Union[Tuple[Propagator, Propagator], MagneticTemplate]
 
 
 class MagNet_node_classification(nn.Module):
+    """MagNet node classification (NeurIPS'21): MagNetConv stack +
+    complex ReLU, concat(real, imag) -> Dense head -> log_softmax.
+
+    Reference: nn/directed/MagNet_node_classification.py:11-92 (the 1x1
+    Conv1d head is a plain Dense over the concat).
+    """
+
     num_features: int
     hidden: int = 2
     q: float = 0.25
@@ -48,6 +55,12 @@ class MagNet_node_classification(nn.Module):
 
 
 class MagNet_link_prediction(nn.Module):
+    """MagNet link prediction: same trunk; gathers [real_s, real_t,
+    imag_s, imag_t] at query_edges -> Dense(4*hidden) -> log_softmax.
+
+    Reference: nn/directed/MagNet_link_prediction.py:11-89.
+    """
+
     num_features: int
     hidden: int = 2
     q: float = 0.25

@@ -45,6 +45,13 @@ class _MSGNNTrunk(nn.Module):
 
 
 class MSGNN_link_prediction(nn.Module):
+    """MSGNN link prediction (LoG'22): MagNet-style trunk over the SIGNED
+    magnetic Laplacian (MSConv); exposes the pre-head embedding as
+    aux output like the reference's self.z.
+
+    Reference: nn/general/MSGNN.py:10-88.
+    """
+
     num_features: int
     hidden: int = 2
     q: float = 0.25
@@ -76,6 +83,12 @@ class MSGNN_link_prediction(nn.Module):
 
 
 class MSGNN_node_classification(nn.Module):
+    """MSGNN node classification: MSConv trunk; returns the DIGRAC-style
+    4-tuple (embedding, log-prob, preds, prob).
+
+    Reference: nn/general/MSGNN.py:91-189.
+    """
+
     num_features: int
     hidden: int = 2
     q: float = 0.25

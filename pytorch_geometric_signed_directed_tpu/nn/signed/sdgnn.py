@@ -54,6 +54,12 @@ class SDRLayer(nn.Module):
 
 
 class SDGNN(nn.Module):
+    """SDGNN (AAAI'21): stacked SDRLayers (one GAT per motif graph + MLP)
+    over 4 motif edge lists, with sign + direction + triangle losses.
+
+    Reference: nn/signed/SDGNN.py:13-267.
+    """
+
     node_num: int
     in_dim: int = 20
     out_dim: int = 20

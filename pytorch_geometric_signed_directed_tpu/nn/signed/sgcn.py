@@ -43,6 +43,14 @@ def prepare_sgcn_inputs(node_num: int, edge_index_s, in_dim: int = 64,
 
 
 class SGCN(nn.Module):
+    """SGCN (ICDM'18): balance-theory signed conv stack holding a trainable
+    input embedding (TSVD spectral features by default); the model owns
+    its graph (edges fixed at construction) and loss() combines
+    Link_Sign_Entropy with lamb * Sign_Structure.
+
+    Reference: nn/signed/SGCN.py:11-97.
+    """
+
     node_num: int
     in_dim: int = 64
     out_dim: int = 64

@@ -32,6 +32,12 @@ def prepare_sigat_inputs(node_num: int, edge_index_s, in_dim: int = 20,
 
 
 class SiGAT(nn.Module):
+    """SiGAT (ICANN'19): one GAT per motif graph (38 motif-derived edge
+    lists) -> concat -> MLP; loss = Link_Sign_Product_Loss.
+
+    Reference: nn/signed/SiGAT.py:11-203 (motif lists :136-185).
+    """
+
     node_num: int
     num_graphs: int = 38
     in_dim: int = 20

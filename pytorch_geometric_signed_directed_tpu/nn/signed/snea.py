@@ -29,6 +29,13 @@ def prepare_snea_inputs(node_num: int, edge_index_s, in_dim: int = 20,
 
 
 class SNEA(nn.Module):
+    """SNEA model (AAAI'20): SGCN-style scaffold over SNEAConv layers with
+    an extra Dense head; loss = Link_Sign_Entropy + lamb *
+    Sign_Structure (lamb=4 default).
+
+    Reference: nn/signed/SNEA.py:9-93.
+    """
+
     node_num: int
     in_dim: int = 20
     out_dim: int = 20

@@ -125,6 +125,14 @@ def _attend(x1, x2, g: AttnGraph, alpha_dense: nn.Dense):
 
 
 class SNEAConv(nn.Module):
+    """Signed attention conv (SNEA, AAAI'20): per-edge attention
+    Dense(2*out) -> tanh -> softmax-by-destination, with the edge-type
+    selector indexing stacked (balanced, unbalanced) messages; faithful
+    to the reference's aggregate-x_i quirk.
+
+    Reference: nn/signed/SNEAConv.py:12-150 (quirk :135-148).
+    """
+
     in_dim: int
     out_dim: int
     first_aggr: bool

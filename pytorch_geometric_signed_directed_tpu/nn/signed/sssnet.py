@@ -50,6 +50,13 @@ class _SSSNETTrunk(nn.Module):
 
 
 class SSSNET_node_clustering(nn.Module):
+    """SSSNET clustering (SDM'22): 2 (undirected) or 4 (directed) input
+    MLPs -> SIMPA -> linear prob head; returns (normalized z, log-prob,
+    preds, prob).
+
+    Reference: nn/signed/SSSNET_node_clustering.py:11-160.
+    """
+
     nfeat: int
     hidden: int
     nclass: int
@@ -82,6 +89,12 @@ class SSSNET_node_clustering(nn.Module):
 
 
 class SSSNET_link_prediction(nn.Module):
+    """SSSNET link prediction: same trunk, query-edge concat ->
+    W_prob(4* or 8*hidden).
+
+    Reference: nn/signed/SSSNET_link_prediction.py:11-157.
+    """
+
     nfeat: int
     hidden: int
     nclass: int

@@ -71,6 +71,11 @@ def sign_product_entropy_loss(z, pos_edge_index, neg_edge_index):
 
 
 class Sign_Product_Entropy_Loss:
+    """BCE on embedding dot products of signed edges.
+
+    Reference: utils/signed/link_sign_loss.py:103-127.
+    """
+
     def __call__(self, z, pos_edge_index, neg_edge_index):
         return sign_product_entropy_loss(z, pos_edge_index, neg_edge_index)
 
@@ -89,6 +94,12 @@ def link_sign_product_loss(z, pos_edge_index, neg_edge_index):
 
 
 class Link_Sign_Product_Loss:
+    """Logsigmoid product loss with the negative class rebalanced by
+    C = |E+|/|E-|.
+
+    Reference: utils/signed/link_sign_loss.py:131-157.
+    """
+
     def __call__(self, z, pos_edge_index, neg_edge_index):
         return link_sign_product_loss(z, pos_edge_index, neg_edge_index)
 
@@ -133,5 +144,10 @@ def sign_structure_loss(z, pos_samples, neg_samples):
 
 
 class Sign_Structure_Loss:
+    """Triplet embedding loss via structured negative sampling.
+
+    Reference: utils/signed/link_sign_loss.py:229-275.
+    """
+
     def __call__(self, z, pos_samples, neg_samples):
         return sign_structure_loss(z, pos_samples, neg_samples)
