@@ -46,18 +46,23 @@ def chebyshev_stack(P: Propagator, x: jnp.ndarray, K: int) -> jnp.ndarray:
     return jnp.stack(ts)
 
 
-def dual_chebyshev_stacks(D: DualPropagator, x_a, x_b, K: int):
+def dual_chebyshev_stacks(D: DualPropagator, x_a, x_b, K: int,
+                          apply=dual_spmm_stacked):
     """Both Chebyshev stacks in lockstep through the fused operator pair:
     one lane-stacked gather + scatter per order instead of two of each
     (the XLA row gather costs the same up to 128 lanes).  The recurrence
     state stays lane-stacked [N, 2F] throughout — the split back into the
-    two streams happens once at the end, not once per order."""
+    two streams happens once at the end, not once per order.
+
+    ``apply`` selects the SpMM variant: the default treats the operator
+    values as frozen; pass ops.spmm.dual_spmm_stacked_trainable when the
+    values carry gradients (trainable q)."""
     f = x_a.shape[1]
     ts = [jnp.concatenate([x_a, x_b], axis=1)]
     if K >= 1:
-        ts.append(dual_spmm_stacked(D, ts[0]))
+        ts.append(apply(D, ts[0]))
     for _ in range(2, K + 1):
-        ts.append(2.0 * dual_spmm_stacked(D, ts[-1]) - ts[-2])
+        ts.append(2.0 * apply(D, ts[-1]) - ts[-2])
     s = jnp.stack(ts)                      # [K+1, N, 2F]
     return s[:, :, :f], s[:, :, f:]
 
@@ -88,17 +93,30 @@ class MagNetConv(nn.Module):
             "weight", glorot, (self.K + 1, self.in_channels, self.out_channels)
         )
         dual = None
+        apply = dual_spmm_stacked
         if self.trainable_q:
             q = self.param("q", lambda k: jnp.full((1,), self.q))
             q = jnp.clip(q, 0.0, 0.25)  # reference clamps each forward (:141-142)
-            P_re, P_im = template_propagators(lap, q[0])
+            if isinstance(lap, MagneticTemplate) and lap.mode == "mxu":
+                # flagship tier for trainable q: frozen scatter plan, only
+                # the per-edge values depend on the traced q — and the
+                # SpMM must propagate value cotangents so q learns
+                from ...ops.spmm import dual_spmm_stacked_trainable
+                from ...spectral.magnetic import template_dual
+
+                dual = template_dual(lap, q[0])
+                apply = dual_spmm_stacked_trainable
+                P_re = P_im = None
+            else:
+                P_re, P_im = template_propagators(lap, q[0])
         else:
             P_re, P_im = lap
             if isinstance(lap, MagneticPair):
                 dual = lap.dual
 
         if dual is not None:
-            s1, s2 = dual_chebyshev_stacks(dual, x_real, x_imag, self.K)
+            s1, s2 = dual_chebyshev_stacks(dual, x_real, x_imag, self.K,
+                                           apply=apply)
         else:
             s1 = chebyshev_stack(P_re, x_real, self.K)  # [K+1, N, F]
             s2 = chebyshev_stack(P_im, x_imag, self.K)

@@ -353,6 +353,55 @@ def _dual_bwd(D, g):
 dual_spmm_stacked.defvjp(_dual_fwd, _dual_bwd)
 
 
+@jax.custom_vjp
+def dual_spmm_stacked_trainable(D: DualPropagator, x: jnp.ndarray):
+    """dual_spmm_stacked whose backward ALSO produces per-edge value
+    cotangents (dval[e] = sum_f g[row_e, f] x[col_e, f] over each lane
+    half, an SDDMM) — the path for *trainable* operator values, e.g. the
+    trainable-q magnetic Laplacian where val_a/val_b are functions of q
+    (reference MagNetConv.py:141-142 clamps and rebuilds q each forward).
+    The frozen variant (dual_spmm_stacked) skips this reduction, which is
+    the common case.  Flat plans and segment mode only (streamed giant
+    graphs keep q frozen)."""
+    return _dual_forward_stacked(D, x)
+
+
+def _dual_t_fwd(D, x):
+    return _dual_forward_stacked(D, x), (D, x)
+
+
+def _dual_t_bwd(res, g):
+    D, x = res
+    if D.stream is not None:
+        raise ValueError("trainable operator values are not supported on "
+                         "streamed plans; build the template with a flat "
+                         "plan or the segment tier")
+    if D.transposed is None:
+        raise ValueError("dual_propagator(with_transpose=False) is not "
+                         "differentiable")
+    dx = _dual_forward_stacked(D.transposed, g)
+    fa = x.shape[1] // 2
+    g_pad = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)], axis=0)
+    if D.mode == "mxu":
+        ge = g_pad[D.plan.global_rows]   # padding rows index num_rows -> 0
+    else:
+        ge = g_pad[jnp.minimum(D.row, D.num_nodes)]
+    xe = x[D.col]
+    prod = ge * xe
+    dva = prod[:, :fa].sum(1)
+    dvb = prod[:, fa:].sum(1)
+    dD = jax.tree.map(
+        lambda p: (jnp.zeros_like(p)
+                   if jnp.issubdtype(p.dtype, jnp.floating)
+                   else np.zeros(p.shape, jax.dtypes.float0)), D)
+    dD = dD.replace(val_a=dva.astype(D.val_a.dtype),
+                    val_b=dvb.astype(D.val_b.dtype))
+    return dD, dx
+
+
+dual_spmm_stacked_trainable.defvjp(_dual_t_fwd, _dual_t_bwd)
+
+
 def dual_spmm(D: DualPropagator, x_a: jnp.ndarray, x_b: jnp.ndarray):
     """(A x_a, B x_b) for same-structure A, B — one gather, one scatter."""
     if x_a.shape[1] != x_b.shape[1]:

@@ -11,6 +11,7 @@ from .magnetic import (
     magnetic_signed_laplacian,
     magnet_propagators,
     magnetic_template,
+    template_dual,
     template_propagators,
 )
 from .appr import (
@@ -32,6 +33,7 @@ __all__ = [
     "magnetic_signed_laplacian",
     "magnet_propagators",
     "magnetic_template",
+    "template_dual",
     "template_propagators",
     "appr_directed_adj",
     "second_directed_adj",

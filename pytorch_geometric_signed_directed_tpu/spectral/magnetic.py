@@ -264,18 +264,66 @@ class MagneticTemplate:
     For trainable q (sym normalization, lambda_max = 2): the scaled operator
     is purely off-diagonal, L_hat_re = −A_norm . cos(2 pi q Theta),
     L_hat_im = −A_norm . sin(2 pi q Theta), so rebuilding it inside jit is
-    elementwise math on the frozen structure.
+    elementwise math on the frozen structure.  The reference instead
+    rebuilds the Laplacian on CPU every forward (MagNetConv.py:141-183).
 
-    ``dense`` mode stores A_norm and Theta as [N, N] matrices (MXU tier);
-    ``segment`` mode stores padded sorted COO edge structure.
+    ``dense`` mode stores A_norm and Theta as [N, N] matrices;
+    ``segment`` mode stores padded sorted COO edge structure;
+    ``mxu`` mode stores the Pallas scatter plan (flat or streamed) with
+    A_norm/Theta in plan order — the plan is q-independent, so trainable-q
+    models run the flagship kernel with only the per-edge values traced.
+    ``transposed`` (mxu only) carries the same per-edge values in the
+    transposed plan's order; applying the identical value formulas to it
+    yields the true operator transposes (cos is even, and the backward
+    needs B^T's entry at (j,i) to equal B's value at (i,j)).
     """
 
-    a_norm: jnp.ndarray  # dense [N,N] or per-edge [E_pad]
+    a_norm: jnp.ndarray  # dense [N,N], per-edge [E_pad], or [S, E_blk]
     theta: jnp.ndarray   # matching shape
     row: Optional[jnp.ndarray]  # segment mode only
-    col: Optional[jnp.ndarray]
+    col: Optional[jnp.ndarray]  # segment + mxu modes
     num_nodes: int = struct.field(pytree_node=False)
     mode: str = struct.field(pytree_node=False)
+    plan: Optional[object] = None    # ops.pallas.scatter_mxu.ScatterPlan
+    stream: Optional[object] = None  # ops.pallas.scatter_mxu.StreamPlan
+    transposed: object = None        # Optional[MagneticTemplate]
+
+
+def _mxu_template(row, col, a_norm, theta, num_nodes: int,
+                  with_transpose: bool = True) -> MagneticTemplate:
+    from ..ops.pallas.scatter_mxu import (
+        STREAM_BLOCK_EDGES,
+        STREAM_THRESHOLD_EDGES,
+        _build_plan_host,
+        _plan_from_host,
+        _stream_from_host,
+        permute_edge_data,
+    )
+
+    # transposed structure carries the ORIGINAL per-edge values (see
+    # class docstring for why the formulas then transpose correctly)
+    t = (_mxu_template(col, row, a_norm, theta, num_nodes, False)
+         if with_transpose else None)
+    h = _build_plan_host(row, num_nodes)
+    if len(h["perm"]) > STREAM_THRESHOLD_EDGES:
+        stream, perm = _stream_from_host(h, STREAM_BLOCK_EDGES)
+        col_p, a_p, t_p = permute_edge_data(
+            perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
+            theta.astype(np.float32))
+        s = stream.win.shape[0]
+        return MagneticTemplate(
+            a_norm=jnp.asarray(a_p).reshape(s, -1),
+            theta=jnp.asarray(t_p).reshape(s, -1), row=None,
+            col=jnp.asarray(col_p).reshape(s, -1), num_nodes=num_nodes,
+            mode="mxu", stream=stream, transposed=t)
+    plan, perm = _plan_from_host(h)
+    col_p, a_p, t_p = permute_edge_data(
+        perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
+        theta.astype(np.float32))
+    return MagneticTemplate(
+        a_norm=jnp.asarray(a_p), theta=jnp.asarray(t_p), row=None,
+        col=jnp.asarray(col_p), num_nodes=num_nodes, mode="mxu",
+        plan=plan, transposed=t)
 
 
 def magnetic_template(
@@ -303,7 +351,7 @@ def magnetic_template(
     a_norm = deg_inv_sqrt[row] * sym * deg_inv_sqrt[col]
 
     if mode == "auto":
-        mode = "dense" if num_nodes <= _DENSE_AUTO_MAX_NODES else "segment"
+        mode = "dense" if num_nodes <= _DENSE_AUTO_MAX_NODES else "mxu"
     if mode == "dense":
         A = np.zeros((num_nodes, num_nodes), np.float32)
         T = np.zeros((num_nodes, num_nodes), np.float32)
@@ -312,6 +360,8 @@ def magnetic_template(
         return MagneticTemplate(a_norm=jnp.asarray(A), theta=jnp.asarray(T),
                                 row=None, col=None, num_nodes=num_nodes,
                                 mode="dense")
+    if mode == "mxu":
+        return _mxu_template(row, col, a_norm, theta, num_nodes)
     # segment mode: reuse build_coo's sort/pad for the structure, then carry
     # theta through the same permutation via a second build with equal order.
     Acoo = build_coo(row, col, a_norm, num_nodes)
@@ -322,21 +372,47 @@ def magnetic_template(
     )
 
 
-def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propagator]:
-    """Jit-safe rebuild of (L_hat_re, L_hat_im) for a (traced) phase q."""
+def _template_values(tmpl: MagneticTemplate, q):
     ang = 2.0 * jnp.pi * q * tmpl.theta
     re_vals = -tmpl.a_norm * jnp.cos(ang)
     # plus: L_im edge values are -a_norm*sin, and the conv applies L^T
     # (antisymmetric imag part -> negate; see magnet_propagators docstring)
     im_vals = tmpl.a_norm * jnp.sin(ang)
+    return re_vals, im_vals
+
+
+def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propagator]:
+    """Jit-safe rebuild of (L_hat_re, L_hat_im) for a (traced) phase q."""
+    re_vals, im_vals = _template_values(tmpl, q)
     if tmpl.mode == "dense":
         return (
             Propagator(coo=None, dense=re_vals, bsr=None, mode="dense"),
             Propagator(coo=None, dense=im_vals, bsr=None, mode="dense"),
         )
+    n = tmpl.num_nodes
+    if tmpl.mode == "mxu":
+        from ..ops.pallas.scatter_mxu import MXUCoo
+
+        tt = tmpl.transposed
+        re_t, im_t = (_template_values(tt, q) if tt is not None
+                      else (None, None))
+
+        def mk(vals, vals_t):
+            t = None
+            if tt is not None:
+                t = MXUCoo(plan=tt.plan, col=tt.col, val=vals_t,
+                           num_cols=n, transposed=None, stream=tt.stream)
+            return MXUCoo(plan=tmpl.plan, col=tmpl.col, val=vals,
+                          num_cols=n, transposed=t, stream=tmpl.stream)
+
+        return (
+            Propagator(coo=None, dense=None, bsr=None, mode="mxu",
+                       mxu=mk(re_vals, re_t)),
+            Propagator(coo=None, dense=None, bsr=None, mode="mxu",
+                       mxu=mk(im_vals, im_t)),
+        )
     from ..ops.coo import COO
 
-    n = tmpl.num_nodes
     e = tmpl.row.shape[0]
     A_re = COO(row=tmpl.row, col=tmpl.col, val=re_vals, num_nodes=n,
                num_cols=n, nnz=e)
@@ -346,3 +422,23 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
         Propagator(coo=A_re, dense=None, bsr=None, mode="segment"),
         Propagator(coo=A_im, dense=None, bsr=None, mode="segment"),
     )
+
+
+def template_dual(tmpl: MagneticTemplate, q) -> DualPropagator:
+    """Jit-safe fused (L_hat_re, L_hat_im) DualPropagator for a traced q
+    on the mxu template — the hot path for trainable-q MagNet/MSGNN at
+    scale (frozen scatter plan, only the per-edge values retrace)."""
+    assert tmpl.mode == "mxu"
+    re_vals, im_vals = _template_values(tmpl, q)
+    t = None
+    if tmpl.transposed is not None:
+        re_t, im_t = _template_values(tmpl.transposed, q)
+        t = DualPropagator(
+            col=tmpl.transposed.col, row=None, val_a=re_t, val_b=im_t,
+            plan=tmpl.transposed.plan, num_nodes=tmpl.num_nodes,
+            num_cols=tmpl.num_nodes, mode="mxu",
+            stream=tmpl.transposed.stream)
+    return DualPropagator(
+        col=tmpl.col, row=None, val_a=re_vals, val_b=im_vals,
+        plan=tmpl.plan, num_nodes=tmpl.num_nodes, num_cols=tmpl.num_nodes,
+        mode="mxu", transposed=t, stream=tmpl.stream)

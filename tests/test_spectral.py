@@ -212,3 +212,117 @@ class TestFeatures:
                                                  k=3, normalization=norm)
             assert x2.shape == (25, 3)
             assert np.isfinite(x2).all()
+
+
+class TestMxuTemplate:
+    """Trainable-q fast path: frozen mxu scatter plan, traced edge values."""
+
+    def _graph(self, n=300, e=2500, seed=5):
+        rng = np.random.default_rng(seed)
+        ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        w = rng.random(e).astype(np.float32)
+        return ei, w
+
+    def test_template_mxu_matches_segment(self):
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_propagators)
+
+        n = 300
+        ei, w = self._graph(n)
+        t_seg = magnetic_template(ei, w, num_nodes=n, mode="segment")
+        t_mxu = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((n, 8)).astype(np.float32))
+        for q in (0.05, 0.2):
+            P_re_s, P_im_s = template_propagators(t_seg, q)
+            P_re_m, P_im_m = jax.jit(template_propagators,
+                                     static_argnums=())(t_mxu, q)
+            np.testing.assert_allclose(np.asarray(P_re_m(x)),
+                                       np.asarray(P_re_s(x)),
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(P_im_m(x)),
+                                       np.asarray(P_im_s(x)),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_template_dual_matches_singles_and_q_grad(self):
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+            dual_spmm_stacked_trainable)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_dual, template_propagators)
+
+        n = 256
+        ei, w = self._graph(n, seed=7)
+        tmpl = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        x = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((n, 8)).astype(np.float32))
+
+        def f(q):
+            D = template_dual(tmpl, q)
+            out = dual_spmm_stacked_trainable(
+                D, jnp.concatenate([x, x], axis=1))
+            return out[:, :8], out[:, 8:]
+
+        ya, yb = jax.jit(f)(0.1)
+        P_re, P_im = template_propagators(tmpl, 0.1)
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(P_re(x)),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(P_im(x)),
+                                   rtol=1e-4, atol=1e-5)
+
+        # gradient w.r.t. q flows through the plan-order values and the
+        # transposed-plan backward; check against finite differences
+        def loss(q):
+            ya, yb = f(q)
+            return (ya ** 2).sum() + (yb ** 2).sum()
+
+        g = float(jax.grad(loss)(0.1))
+        eps = 1e-3
+        fd = (float(loss(0.1 + eps)) - float(loss(0.1 - eps))) / (2 * eps)
+        assert abs(g - fd) / (abs(fd) + 1e-6) < 2e-2, (g, fd)
+
+    def test_trainable_q_magnet_model_mxu(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from pytorch_geometric_signed_directed_tpu.nn import (
+            MagNet_node_classification)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template)
+
+        n = 200
+        ei, w = self._graph(n, 1500, seed=9)
+        tmpl = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        x = jnp.asarray(np.random.default_rng(2)
+                        .standard_normal((n, 4)).astype(np.float32))
+        y = jnp.asarray(np.random.default_rng(3).integers(0, 3, n))
+        model = MagNet_node_classification(
+            num_features=4, hidden=8, K=2, label_dim=3, trainable_q=True,
+            q=0.2, activation=True)
+        params = model.init(jax.random.PRNGKey(0), x, x, tmpl)
+        tx = optax.adam(1e-2)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o):
+            def lf(pp):
+                logp = model.apply(pp, x, x, tmpl)
+                return -jnp.mean(logp[jnp.arange(n), y])
+
+            loss, g = jax.value_and_grad(lf)(p)
+            u, o = tx.update(g, o)
+            return optax.apply_updates(p, u), o, loss
+
+        losses = []
+        for _ in range(20):
+            params, opt, loss = step(params, opt)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        q_after = float(jax.tree.leaves(
+            {k: v for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+             if "'q'" in str(k)}[0][1][0]) if False else
+            params["params"]["MagNetConv_0"]["q"][0])
+        assert 0.0 <= q_after <= 0.25
