@@ -178,3 +178,57 @@ class TestProcessedCache:
         raw.write_text("a,b,1.0\nb,c,-2.0\n")
         load_signed_real_data("bitcoin_otc", root=str(tmp_path))
         assert not (tmp_path / "processed").exists()
+
+
+class TestBlockedDatasetFormats:
+    """cora_ml / slashdot / epinions raw files are not bundled in this
+    environment (zero egress).  These tests construct synthetic fixtures
+    in their EXACT on-disk formats (reference data/directed/citation.py
+    npz schema; data/signed/SDGNN_real_data.py:9-15 CSV schema) so the
+    moment the real files land under $PGSD_TPU_DATA the accuracy configs
+    run unchanged."""
+
+    def _citation_npz(self, path, n=40, f=12, c=5, seed=0):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        adj = sp.random(n, n, density=0.05, random_state=1,
+                        format="csr", dtype=np.float32)
+        attr = sp.random(n, f, density=0.3, random_state=2,
+                         format="csr", dtype=np.float32)
+        np.savez(path,
+                 adj_data=adj.data, adj_indices=adj.indices,
+                 adj_indptr=adj.indptr, adj_shape=np.array(adj.shape),
+                 attr_data=attr.data, attr_indices=attr.indices,
+                 attr_indptr=attr.indptr, attr_shape=np.array(attr.shape),
+                 labels=rng.integers(0, c, n))
+        return adj
+
+    def test_cora_ml_npz_schema(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PGSD_TPU_DATA", str(tmp_path))
+        # big enough for the baked-in 20/class + val-500 split
+        adj = self._citation_npz(tmp_path / "cora_ml.npz", n=700, c=7)
+        d = load_directed_real_data("cora_ml", root=str(tmp_path))
+        assert d.num_nodes == 700
+        assert d.x.shape == (700, 12)
+        assert d.train_mask.shape == (700, 10)
+        assert (d.train_mask.sum(0) == 7 * 20).all()
+        assert (d.val_mask.sum(0) == 500).all()
+        coo = adj.tocoo()
+        got = set(zip(np.asarray(d.edge_index[0]).tolist(),
+                      np.asarray(d.edge_index[1]).tolist()))
+        assert got == set(zip(coo.row.tolist(), coo.col.tolist()))
+
+    @pytest.mark.parametrize("name", ["slashdot", "epinions"])
+    def test_sdgnn_csv_schema(self, name, tmp_path, monkeypatch):
+        monkeypatch.setenv("PGSD_TPU_DATA", str(tmp_path))
+        rng = np.random.default_rng(3)
+        rows = rng.integers(0, 50, 400)
+        cols = rng.integers(0, 50, 400)
+        signs = rng.choice([-1, 1], 400)
+        lines = [f"n{a},n{b},{s}" for a, b, s in zip(rows, cols, signs)]
+        (tmp_path / f"{name}.csv").write_text("\n".join(lines) + "\n")
+        d = load_signed_real_data(name, root=str(tmp_path))
+        assert d.is_signed
+        assert d.edge_index.shape[1] == 400
+        d.separate_positive_negative()
+        assert d.A_p.nnz > 0 and d.A_n.nnz > 0
