@@ -1,9 +1,8 @@
-"""MagNet telegram sweep 3: edge-weight transforms.
+"""MagNet citeseer sweep at the reference protocol (20/class, val 500).
 
-Telegram's edge weights are heavy-tailed interaction counts; sweeps 1-2
-used them raw everywhere, so a handful of giant edges dominate the
-sym-normalized magnetic Laplacian.  This sweep crosses weight transforms
-(raw / binary / log1p) with the competitive hyperparameter region.
+Axes: BOW feature normalization, q (citation graphs favor small q), K,
+dropout, hidden, plus degree features for reference.  Every config
+trains all 10 splits in one device call.
 """
 import argparse
 import itertools
@@ -19,7 +18,6 @@ import optax
 
 from pytorch_geometric_signed_directed_tpu.data import (
     load_directed_real_data)
-from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
 from pytorch_geometric_signed_directed_tpu.nn import (
     MagNet_node_classification)
 from pytorch_geometric_signed_directed_tpu.spectral import magnet_propagators
@@ -28,11 +26,12 @@ from pytorch_geometric_signed_directed_tpu.train import scan_node_training
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="citeseer")
     ap.add_argument("--epochs", type=int, default=2000)
     ap.add_argument("--top", type=int, default=12)
     args = ap.parse_args()
 
-    data = load_directed_real_data("telegram")
+    data = load_directed_real_data(args.dataset, name=args.dataset)
     n = data.num_nodes
     y = np.asarray(data.y)
     label_dim = int(y.max()) + 1
@@ -40,24 +39,25 @@ def main():
     va = np.asarray(data.val_mask).T.astype(np.float32)
     te = np.asarray(data.test_mask).T.astype(np.float32)
 
-    w_raw = np.asarray(data.edge_weight, np.float32)
-    weights = {
-        "raw": w_raw,
-        "binary": np.ones_like(w_raw),
-        "log": np.log1p(w_raw).astype(np.float32),
+    xr = np.asarray(data.x, np.float32)
+    feats = {
+        "raw": jnp.asarray(xr),
+        "rownorm": jnp.asarray(
+            xr / np.maximum(xr.sum(1, keepdims=True), 1e-12)),
     }
-    qs = (0.1, 0.15, 0.2, 0.25)
+    qs = (0.0, 0.05, 0.1, 0.15, 0.25)
+    laps = {q: magnet_propagators(data.edge_index, data.edge_weight, q=q,
+                                  num_nodes=n) for q in qs}
+
     results = []
-    grid = list(itertools.product(weights, qs, (1, 2), (0.0, 0.5)))
+    grid = list(itertools.product(feats, qs, (1, 2), (0.0, 0.5), (16, 64)))
     t0 = time.time()
-    for i, (wname, q, K, drop) in enumerate(grid):
-        w = weights[wname]
-        xd = in_out_degree(data.edge_index, n, edge_weight=w)
-        x = jnp.asarray(np.asarray(xd, np.float32) / max(float(xd.max()), 1))
-        lap = magnet_propagators(data.edge_index, w, q=q, num_nodes=n)
+    for i, (fname, q, K, drop, hidden) in enumerate(grid):
+        x = feats[fname]
+        lap = laps[q]
         model = MagNet_node_classification(
-            num_features=2, hidden=64, K=K, q=q, label_dim=label_dim,
-            activation=True, dropout=drop)
+            num_features=int(x.shape[1]), hidden=hidden, K=K, q=q,
+            label_dim=label_dim, activation=True, dropout=drop)
 
         def apply_fn(p, training, key):
             rngs = {"dropout": key} if key is not None else None
@@ -70,7 +70,7 @@ def main():
         out = scan_node_training(apply_fn, init_fn, y, tr, va, te,
                                  epochs=args.epochs, tx=tx, seed=0,
                                  stochastic=drop > 0)
-        rec = dict(w=wname, q=q, K=K, drop=drop,
+        rec = dict(f=fname, q=q, K=K, drop=drop, h=hidden,
                    best=float(out["best_test"].mean()),
                    std=float(out["best_test"].std()),
                    final=float(out["final_test"].mean()))

@@ -9,6 +9,10 @@ import argparse
 import itertools
 import time
 
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 import optax
