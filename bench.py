@@ -1,14 +1,23 @@
-"""Benchmark harness: flagship MagNet training throughput on TPU.
+"""Benchmark harness: training throughput of the main kernel paths on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: graph edges processed per second per chip for a full MagNet
-(K=2, 2 layers) training step (forward + backward + Adam), full-batch.
+Prints one JSON line per metric ({"metric", "value", "unit",
+"vs_baseline"}); the final line is the headline dense-tier MagNet number.
 The reference publishes no performance numbers (BASELINE.md), so
 vs_baseline is throughput relative to this framework's own XLA
 segment-sum tier on the same graph — i.e. the speedup the tiered
-(dense-MXU) execution buys over the scatter-based baseline the reference's
-torch-scatter design corresponds to.
+execution buys over the scatter-based design the reference's
+torch-scatter dependency corresponds to.
+
+Metrics:
+  * snea_attention_train_edges_per_s_per_chip — signed attention path
+    (segment softmax + aggregation on the MXU scatter plan) vs the plain
+    XLA segment implementation.
+  * sgcn_train_edges_per_s_per_chip — signed dual-aggregation conv stack.
+  * magnet_mxu_train_edges_per_s_per_chip — large-N MagNet on the Pallas
+    scatter tier (the giant-graph path).
+  * magnet_trainable_q_step_ratio — trainable-q step time over frozen-q
+    at the same scale (target <= 1.5).
+  * magnet_train_edges_per_s_per_chip — headline dense-tier MagNet.
 """
 import json
 import sys
@@ -17,13 +26,71 @@ import time
 import numpy as np
 
 
-def _build(n, avg_deg, mode, seed=0):
+def _sync_time(run, *args, steps=1):
+    """Seconds per step with the loop inside one jit (lax.scan) and
+    device-sync by fetching a scalar (block_until_ready is unreliable on
+    tunneled backends)."""
+    out = run(*args)  # compile + warmup
+    float(np.asarray(out).ravel()[0])
+    t0 = time.perf_counter()
+    out = run(*args)
+    float(np.asarray(out).ravel()[0])
+    return (time.perf_counter() - t0) / steps
+
+
+def _train_scanner(model_loss, params, steps, aux, lr=1e-2):
+    """jit(scan) full training loop for loss_fn(params, aux).
+
+    ``aux`` (graph operators, features, labels) rides as a jit ARGUMENT,
+    not a closure constant — baking a [N, N] dense propagator into the
+    HLO as a constant bloats the program (and overflows remote-compile
+    transports)."""
+    import jax
+    import optax
+
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def run(params, opt_state, aux):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(
+                lambda p: model_loss(p, aux))(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=steps)
+        return losses[-1]
+
+    return run, (params, tx.init(params), aux)
+
+
+def _emit(metric, edges, dt, dt_baseline, detail):
+    import jax
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(edges / dt, 1),
+        "unit": f"edges/s ({detail}, fwd+bwd+adam, "
+                f"backend={jax.default_backend()})",
+        "vs_baseline": round(dt_baseline / dt, 3),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# MagNet (dense tier headline + large-N mxu tier + trainable-q ratio)
+
+def _build_magnet(n, avg_deg, mode, seed=0):
     import jax.numpy as jnp
     from pytorch_geometric_signed_directed_tpu.data import DSBM
     from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
-    from pytorch_geometric_signed_directed_tpu.spectral import magnet_propagators
-    from pytorch_geometric_signed_directed_tpu.nn import MagNet_node_classification
-    from pytorch_geometric_signed_directed_tpu.utils import meta_graph_generation
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnet_propagators)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        MagNet_node_classification)
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        meta_graph_generation)
 
     F = meta_graph_generation("cyclic", 5, 0.05, False)
     p = avg_deg / n
@@ -35,56 +102,155 @@ def _build(n, avg_deg, mode, seed=0):
     x = jnp.asarray(x / max(x.max(), 1.0))
     lap = magnet_propagators(edge_index, w, q=0.25, num_nodes=n, mode=mode)
     model = MagNet_node_classification(
-        num_features=2, hidden=32, K=2, label_dim=5, activation=True, layer=2)
-    return model, x, lap, jnp.asarray(labels), e
+        num_features=2, hidden=32, K=2, label_dim=5, activation=True,
+        layer=2)
+    return model, x, lap, jnp.asarray(labels), e, (edge_index, w)
 
 
-def _time_train(model, x, lap, y, steps=100):
-    """Seconds per full training step, measured with the whole loop inside
-    one jit (lax.scan) so per-call dispatch doesn't pollute the number, and
-    synchronized by fetching the final scalar loss (block_until_ready is
-    not reliable on tunneled backends)."""
+def _magnet_loss(model):
+    import jax.numpy as jnp
+
+    def loss_fn(p, aux):
+        x, lap, y = aux
+        logp = model.apply(p, x, x, lap)
+        return -jnp.mean(logp[jnp.arange(x.shape[0]), y])
+
+    return loss_fn
+
+
+def bench_magnet(n, avg_deg, steps, metric):
+    import jax
+
+    model, x, lap, y, e, _ = _build_magnet(n, avg_deg, mode="auto")
+    params = model.init(jax.random.PRNGKey(0), x, x, lap)
+    run, st = _train_scanner(_magnet_loss(model), params, steps,
+                             aux=(x, lap, y))
+    dt = _sync_time(run, *st, steps=steps)
+
+    model_b, x_b, lap_b, y_b, _, _ = _build_magnet(n, avg_deg,
+                                                   mode="segment")
+    params_b = model_b.init(jax.random.PRNGKey(0), x_b, x_b, lap_b)
+    run_b, st_b = _train_scanner(_magnet_loss(model_b), params_b, steps,
+                                 aux=(x_b, lap_b, y_b))
+    dt_b = _sync_time(run_b, *st_b, steps=steps)
+    tier = "dense" if lap.dual is None else lap.dual.mode
+    _emit(metric, e, dt, dt_b, f"N={n}, E={e}, K=2, 2 layers, tier={tier}")
+    return dt
+
+
+def bench_trainable_q_ratio(n, avg_deg, steps, dt_frozen):
+    import jax
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnetic_template)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        MagNet_node_classification)
+
+    model, x, _, y, e, (ei, w) = _build_magnet(n, avg_deg, mode="auto")
+    tmpl = magnetic_template(ei, w, num_nodes=n, mode="auto")
+    model_q = MagNet_node_classification(
+        num_features=2, hidden=32, K=2, label_dim=5, activation=True,
+        layer=2, trainable_q=True)
+    params = model_q.init(jax.random.PRNGKey(0), x, x, tmpl)
+    run, st = _train_scanner(_magnet_loss(model_q), params, steps,
+                             aux=(x, tmpl, y))
+    dt = _sync_time(run, *st, steps=steps)
+    print(json.dumps({
+        "metric": "magnet_trainable_q_step_ratio",
+        "value": round(dt / dt_frozen, 3),
+        "unit": f"trainable-q step / frozen-q step (N={n}, E={e}, "
+                f"tier={tmpl.mode}; target <= 1.5)",
+        "vs_baseline": round(dt_frozen / dt, 3),
+    }), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# SNEA attention path
+
+def bench_snea(n, e_pos, e_neg, steps):
     import jax
     import jax.numpy as jnp
-    import optax
+    from pytorch_geometric_signed_directed_tpu.nn import SNEA
+    from pytorch_geometric_signed_directed_tpu.nn.signed import snea_conv
+    from pytorch_geometric_signed_directed_tpu.ops.segment import (
+        segment_softmax, segment_sum)
 
-    params = model.init(jax.random.PRNGKey(0), x, x, lap)
-    tx = optax.adam(1e-2)
-    opt_state = tx.init(params)
-    n = x.shape[0]
+    rng = np.random.default_rng(0)
+    pos = np.vstack([rng.integers(0, n, e_pos), rng.integers(0, n, e_pos)])
+    neg = np.vstack([rng.integers(0, n, e_neg), rng.integers(0, n, e_neg)])
+    graphs = snea_conv.snea_graphs(pos, neg, n)
+    e = sum(int(g.plan.num_edges) for g in graphs)
+    init_emb = rng.standard_normal((n, 32)).astype(np.float32)
+    model = SNEA(node_num=n, in_dim=32, out_dim=32, init_emb=init_emb)
 
-    # the graph operators are jit ARGUMENTS, not closure constants — baking
-    # a [N, N] dense propagator into the HLO as a constant bloats the
-    # program (and overflows remote-compile transports)
-    @jax.jit
-    def run(params, opt_state, x, lap, y):
-        def body(carry, _):
-            params, opt_state = carry
+    def loss_fn(p, g):
+        z = model.apply(p, g)
+        return (z ** 2).sum()
 
-            def loss_fn(p):
-                logp = model.apply(p, x, x, lap)
-                return -jnp.mean(logp[jnp.arange(n), y])
+    params = model.init(jax.random.PRNGKey(0), graphs)
+    run, st = _train_scanner(loss_fn, params, steps, aux=graphs)
+    dt = _sync_time(run, *st, steps=steps)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state)
-            return (optax.apply_updates(params, updates), opt_state), loss
+    # baseline: identical math with XLA segment softmax + segment sum
+    # (what a faithful port of PyG's softmax-by-index would do)
+    orig = snea_conv.attention_softmax_aggregate
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=steps)
-        return params, opt_state, losses[-1]
+    def xla_aggregate(g, logits, msgs):
+        seg = jnp.minimum(g.dst, g.num_nodes)
+        alpha = segment_softmax(logits, seg, g.num_nodes + 1)
+        out = segment_sum(msgs * alpha[:, None], seg, g.num_nodes + 1)
+        return out[: g.num_nodes]
 
-    _, _, loss = run(params, opt_state, x, lap, y)  # compile + warmup
-    float(loss)
-    t0 = time.perf_counter()
-    _, _, loss = run(params, opt_state, x, lap, y)
-    float(loss)  # device sync
-    return (time.perf_counter() - t0) / steps
+    snea_conv.attention_softmax_aggregate = xla_aggregate
+    try:
+        run_b, st_b = _train_scanner(loss_fn, params, steps, aux=graphs)
+        dt_b = _sync_time(run_b, *st_b, steps=steps)
+    finally:
+        snea_conv.attention_softmax_aggregate = orig
+    _emit("snea_attention_train_edges_per_s_per_chip", e, dt, dt_b,
+          f"N={n}, E={e} (3 attn graphs), 2 layers")
+
+
+# ---------------------------------------------------------------------------
+# SGCN signed path
+
+def bench_sgcn(n, e_pos, e_neg, steps):
+    import jax
+    from pytorch_geometric_signed_directed_tpu.nn import SGCN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sgcn import (
+        prepare_sgcn_inputs)
+
+    rng = np.random.default_rng(0)
+    m = e_pos + e_neg
+    edge_s = np.column_stack([
+        rng.integers(0, n, m), rng.integers(0, n, m),
+        np.concatenate([np.ones(e_pos), -np.ones(e_neg)])]).astype(np.int64)
+    init_emb = rng.standard_normal((n, 64)).astype(np.float32)
+
+    def build(mode):
+        _, _, emb, P_pos, P_neg = prepare_sgcn_inputs(
+            n, edge_s, in_dim=64, init_emb=init_emb, mode=mode)
+        model = SGCN(node_num=n, in_dim=64, out_dim=64, init_emb=emb,
+                     init_emb_grad=True)  # param, not a 33MB HLO constant
+
+        def loss_fn(p, aux):
+            z = model.apply(p, *aux)
+            return (z ** 2).sum()
+
+        params = model.init(jax.random.PRNGKey(0), P_pos, P_neg)
+        return loss_fn, params, (P_pos, P_neg)
+
+    loss_fn, params, aux = build("auto")
+    run, st = _train_scanner(loss_fn, params, steps, aux=aux)
+    dt = _sync_time(run, *st, steps=steps)
+    loss_b, params_b, aux_b = build("segment")
+    run_b, st_b = _train_scanner(loss_b, params_b, steps, aux=aux_b)
+    dt_b = _sync_time(run_b, *st_b, steps=steps)
+    _emit("sgcn_train_edges_per_s_per_chip", m, dt, dt_b,
+          f"N={n}, E={m} signed, 2 layers")
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
-    avg_deg = 24
-    import jax
     from pytorch_geometric_signed_directed_tpu.ops.spmm import (
         set_matmul_precision, set_message_dtype)
 
@@ -93,22 +259,17 @@ def main():
     # HIGHEST setting used in the allclose tests.
     set_matmul_precision("default")
     set_message_dtype("bf16")
-    model, x, lap, y, e = _build(n, avg_deg, mode="auto")
-    dt = _time_train(model, x, lap, y)
-    edges_per_s = e / dt
 
-    # baseline tier: plain XLA gather+segment-sum (what a line-by-line
-    # port of the reference's scatter-based design would do)
-    model_b, x_b, lap_b, y_b, e_b = _build(n, avg_deg, mode="segment")
-    dt_b = _time_train(model_b, x_b, lap_b, y_b)
-
-    print(json.dumps({
-        "metric": "magnet_train_edges_per_s_per_chip",
-        "value": round(edges_per_s, 1),
-        "unit": f"edges/s (N={n}, E={e}, K=2, 2 layers, fwd+bwd+adam, "
-                f"backend={jax.default_backend()})",
-        "vs_baseline": round(dt_b / dt, 3),
-    }))
+    bench_snea(n=16384, e_pos=400_000, e_neg=100_000, steps=30)
+    bench_sgcn(n=131_072, e_pos=600_000, e_neg=120_000, steps=30)
+    dt_mxu = bench_magnet(n=65_536, avg_deg=30, steps=30,
+                          metric="magnet_mxu_train_edges_per_s_per_chip")
+    bench_trainable_q_ratio(n=65_536, avg_deg=30, steps=30,
+                            dt_frozen=dt_mxu)
+    # headline LAST so drivers that parse the final JSON line keep the
+    # round-over-round comparable metric
+    bench_magnet(n=n, avg_deg=24, steps=100,
+                 metric="magnet_train_edges_per_s_per_chip")
 
 
 if __name__ == "__main__":
