@@ -99,13 +99,17 @@ class MagNetConv(nn.Module):
             q = jnp.clip(q, 0.0, 0.25)  # reference clamps each forward (:141-142)
             if isinstance(lap, MagneticTemplate) and lap.mode == "mxu":
                 # flagship tier for trainable q: frozen scatter plan, only
-                # the per-edge values depend on the traced q — and the
-                # SpMM must propagate value cotangents so q learns
-                from ...ops.spmm import dual_spmm_stacked_trainable
-                from ...spectral.magnetic import template_dual
+                # the per-edge values depend on the traced q.  The fused
+                # custom-VJP apply computes dq as an in-kernel SDDMM
+                # (no extra row gathers over the frozen-q backward).
+                from ...spectral.magnetic import template_dual_apply
 
-                dual = template_dual(lap, q[0])
-                apply = dual_spmm_stacked_trainable
+                qv = q[0]
+                dual = lap  # sentinel: apply closes over the template
+
+                def apply(_D, v):
+                    return template_dual_apply(lap, qv, v)
+
                 P_re = P_im = None
             else:
                 P_re, P_im = template_propagators(lap, q[0])

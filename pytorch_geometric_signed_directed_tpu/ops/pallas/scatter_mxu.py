@@ -49,16 +49,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_geometry(row_sorted: np.ndarray, num_rows: int):
+def _pick_geometry(row_sorted: np.ndarray, num_rows: int,
+                   group_sorted: Optional[np.ndarray] = None):
     """Choose (window, chunk) minimizing step overhead + padded-gather +
     one-hot cost for this degree profile.  VMEM guard: the [window, chunk]
-    one-hot must stay within ~4MB f32."""
+    one-hot must stay within ~4MB f32.  With a hot/cold ``group`` each
+    (window, group) run pads separately, so the model counts those bins."""
     best, best_cost = (WINDOW, CHUNK), float("inf")
     for window in (128, 256, 512):
         nw = _round_up(max(num_rows, 1), window) // window
-        counts = np.bincount(row_sorted // window, minlength=nw)
+        bins = row_sorted // window
+        if group_sorted is not None:
+            bins = bins * 2 + group_sorted
+            nw *= 2
+        counts = np.bincount(bins, minlength=nw)
         counts = counts[counts > 0]
-        for chunk in (1024, 2048, 4096, 8192):
+        for chunk in (512, 1024, 2048, 4096, 8192):
             if window * chunk * 4 > 4 * 1024 * 1024:
                 continue
             padded = int(np.sum((counts + chunk - 1) // chunk)) * chunk
@@ -89,16 +95,27 @@ class ScatterPlan:
     num_windows: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)   # valid (unpadded)
     window: int = struct.field(pytree_node=False, default=WINDOW)
+    # leading chunks whose gather rides the compact hot-column table
+    # (col-split plans; 0 = unsplit).  Window ids are non-decreasing
+    # within each of the two chunk sections.
+    hot_chunks: int = struct.field(pytree_node=False, default=0)
 
 
 def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
-                     window: Optional[int] = None):
+                     window: Optional[int] = None,
+                     group: Optional[np.ndarray] = None):
     """Host-side plan construction shared by the flat and streamed builders.
 
     Returns a dict of numpy arrays: perm (plan order -> original edge, -1
     padding), lr (local rows, `window` marks padding), gr (global rows,
     num_rows marks padding), win (per-chunk window id, non-decreasing),
     visited, plus the resolved (window, chunk, num_windows, e).
+
+    ``group`` (optional, int8 in {0, 1} per edge) splits every window run
+    into a group-0 section and a group-1 section, each padded to chunk
+    multiples, and orders all group-0 chunks before all group-1 chunks
+    (window ids non-decreasing within each section) — the layout of the
+    hot/cold column split (see col_degree_split).
     """
     row = np.asarray(row, np.int64)
     e = len(row)
@@ -108,40 +125,61 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     else:
         order = np.argsort(row, kind="stable")
         row_sorted = row[order]
+    grp_sorted = None if group is None else np.asarray(group)[order]
     if window is None and chunk is None:
-        window, chunk = _pick_geometry(row_sorted, num_rows)
+        window, chunk = _pick_geometry(row_sorted, num_rows, grp_sorted)
     window = WINDOW if window is None else window
     if chunk is None:
         chunk = CHUNK
     assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
     assert window % WINDOW == 0, f"window must be a multiple of {WINDOW}"
-    win_of_edge = row_sorted // window
     num_windows = _round_up(max(num_rows, 1), window) // window
+    ngrp = 1 if group is None else 2
+    if ngrp == 2:
+        # final edge order: (window, group) bins; stable keeps row order
+        key = (row_sorted // window) * 2 + grp_sorted
+        o2 = np.argsort(key, kind="stable")
+        order = order[o2]
+        row_sorted = row_sorted[o2]
+        bin_of_edge = key[o2]
+    else:
+        bin_of_edge = row_sorted // window
+    num_bins = num_windows * ngrp
 
-    # vectorized per-window padding layout (the per-window Python loop cost
-    # minutes at WikiTalk scale): windows sorted, so each window is one run.
-    counts = np.bincount(win_of_edge, minlength=num_windows)
+    # vectorized per-bin padding layout (the per-window Python loop cost
+    # minutes at WikiTalk scale): bins sorted, so each bin is one run.
+    counts = np.bincount(bin_of_edge, minlength=num_bins)
     nonempty = np.flatnonzero(counts)
     visited = np.zeros(num_windows, bool)
+    hot_chunks = 0
     if nonempty.size:
-        visited[nonempty] = True
+        visited[nonempty // ngrp] = True
         cnts = counts[nonempty]
         padded = ((cnts + chunk - 1) // chunk) * chunk
         total = int(padded.sum())
         # position of each valid edge inside the padded layout
         pad_start = np.concatenate([[0], np.cumsum(padded)[:-1]])
         src_start = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        # dst index for edge j of window k: pad_start[k] + (j - src_start[k])
-        winidx = np.repeat(np.arange(nonempty.size), cnts)
-        dst = (pad_start[winidx]
-               + np.arange(e) - src_start[winidx]).astype(np.int64)
+        # dst index for edge j of bin k: pad_start[k] + (j - src_start[k])
+        binidx = np.repeat(np.arange(nonempty.size), cnts)
+        dst = (pad_start[binidx]
+               + np.arange(e) - src_start[binidx]).astype(np.int64)
         perm = np.full(total, -1, np.int64)
         lr = np.full(total, window, np.int32)
         gr = np.full(total, num_rows, np.int32)
         perm[dst] = order
         lr[dst] = (row_sorted % window).astype(np.int32)
         gr[dst] = row_sorted.astype(np.int32)
-        win = np.repeat(nonempty, padded // chunk).astype(np.int32)
+        chunks_per_bin = padded // chunk
+        win = np.repeat(nonempty // ngrp, chunks_per_bin).astype(np.int32)
+        if ngrp == 2:
+            grp_chunk = np.repeat(nonempty % 2, chunks_per_bin)
+            corder = np.argsort(grp_chunk, kind="stable")
+            hot_chunks = int((grp_chunk == 0).sum())
+            win = win[corder]
+            perm = perm.reshape(-1, chunk)[corder].reshape(-1)
+            lr = lr.reshape(-1, chunk)[corder].reshape(-1)
+            gr = gr.reshape(-1, chunk)[corder].reshape(-1)
     else:  # completely empty graph: one dummy padding chunk
         perm = np.full(chunk, -1, np.int64)
         lr = np.full(chunk, window, np.int32)
@@ -150,7 +188,7 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
 
     return dict(perm=perm, lr=lr, gr=gr, win=win, visited=visited,
                 window=window, chunk=chunk, num_windows=num_windows,
-                num_edges=e, num_rows=num_rows)
+                num_edges=e, num_rows=num_rows, hot_chunks=hot_chunks)
 
 
 def _plan_from_host(h) -> Tuple[ScatterPlan, np.ndarray]:
@@ -161,6 +199,7 @@ def _plan_from_host(h) -> Tuple[ScatterPlan, np.ndarray]:
         visited=jnp.asarray(h["visited"]),
         num_rows=h["num_rows"], num_windows=h["num_windows"],
         num_edges=h["num_edges"], window=h["window"],
+        hot_chunks=h.get("hot_chunks", 0),
     )
     return plan, h["perm"]
 
@@ -464,6 +503,135 @@ def _bwd(plan, g):
 
 
 scatter_sum.defvjp(_fwd, _bwd)
+
+
+def _dual_bwd_kernel(win_ref, lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
+                     ge_ref, x_ref, out_ref, acc_ref, *, window, fa,
+                     precision):
+    """Fused trainable-dual backward step: scatter + SDDMM off one one-hot.
+
+    Per chunk (plan order; padding edges have an all-zero one-hot column
+    and zero w):
+
+        out[window]  += onehot @ (ge * valsel)        (d x of the apply)
+        acc[1, 2F]   += sum_e x[row_e] * ge[e] * wsel  (d q partials)
+
+    where valsel/wsel select the a/b lane halves.  x[row_e] is the
+    transposed one-hot MXU product against the chunk's resident x window
+    — the whole trainable backward costs ONE row gather (the caller's
+    ge = g[col]), same as the frozen backward, plus MXU work.
+    """
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, win_ref[i] != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
+    onehot = jnp.concatenate(
+        [(rows == lr_ref[a][None, :]).astype(ge_ref.dtype)
+         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
+    f2 = ge_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, f2), 1)
+    valsel = jnp.concatenate(
+        [jnp.where(lanes < fa, va_ref[a][:, None], vb_ref[a][:, None])
+         for a in range(va_ref.shape[0])], axis=0)    # [chunk, 2F]
+    ge = ge_ref[...].astype(jnp.float32)
+    msgs = (ge * valsel).astype(ge_ref.dtype)
+    out_ref[...] += jnp.dot(onehot, msgs,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+    # xe[c, f] = x[row_c, f] via the transposed contraction of the same
+    # one-hot (contract dim 0 of both operands)
+    xe = jax.lax.dot_general(
+        onehot, x_ref[...].astype(ge_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    wsel = jnp.concatenate(
+        [jnp.where(lanes < fa, wa_ref[a][:, None], wb_ref[a][:, None])
+         for a in range(wa_ref.shape[0])], axis=0)
+    acc_ref[...] += jnp.sum(xe * ge * wsel, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_windows", "window", "fa",
+                                    "interpret", "precision"))
+def _dual_bwd_matmul(win, local_rows, va, vb, wa, wb, ge, x_pad,
+                     num_windows: int, window: int, fa: int,
+                     interpret: bool = False,
+                     precision=jax.lax.Precision.HIGHEST):
+    num_chunks = win.shape[0]
+    f2 = ge.shape[1]
+    sub_per_chunk = local_rows.shape[0] // num_chunks
+    chunk = sub_per_chunk * SUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((chunk, f2), lambda i, win: (i, 0)),
+            pl.BlockSpec((window, f2), lambda i, win: (win[i], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((window, f2), lambda i, win: (win[i], 0)),
+            pl.BlockSpec((1, f2), lambda i, win: (0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_dual_bwd_kernel, window=window, fa=fa,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_windows * window, f2), jnp.float32),
+            jax.ShapeDtypeStruct((1, f2), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * num_chunks * chunk * window * f2,
+            bytes_accessed=2 * ge.size * ge.dtype.itemsize
+                           + num_chunks * window * f2 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win, local_rows, va, vb, wa, wb, ge, x_pad)
+
+
+def dual_scatter_sddmm(plan: ScatterPlan, ge: jnp.ndarray, va, vb, wa, wb,
+                       x: jnp.ndarray, fa: int):
+    """(scatter_sum(plan, ge * valsel), SDDMM lane partials).
+
+    One fused pallas pass for the trainable dual backward: ``ge`` is the
+    plan-ordered gathered cotangent [E2, 2F]; ``va``/``vb`` the operator
+    values, ``wa``/``wb`` the d(value)/dparam weights ([E2], plan order);
+    ``x`` the [num_rows, 2F] table indexed by the plan's rows.  Returns
+    (out [num_rows, 2F], partials [2F]) — sum the partials for dparam.
+    """
+    from ..spmm import get_matmul_precision
+
+    f2 = ge.shape[1]
+    nwin = plan.num_windows * plan.window
+    x_pad = jnp.pad(x, ((0, nwin - x.shape[0]), (0, 0)))
+    out, acc = _dual_bwd_matmul(
+        plan.win, plan.local_rows,
+        va.reshape(-1, SUB).astype(jnp.float32),
+        vb.reshape(-1, SUB).astype(jnp.float32),
+        wa.reshape(-1, SUB).astype(jnp.float32),
+        wb.reshape(-1, SUB).astype(jnp.float32),
+        ge, x_pad, plan.num_windows, window=plan.window, fa=fa,
+        interpret=jax.default_backend() != "tpu",
+        precision=get_matmul_precision())
+    mask = jnp.repeat(plan.visited, plan.window)[: plan.num_rows]
+    out = jnp.where(mask[:, None], out[: plan.num_rows, :f2], 0.0)
+    return out, acc[0]
 
 
 # Plans whose PADDED edge count (the flat plan layout, chunk padding

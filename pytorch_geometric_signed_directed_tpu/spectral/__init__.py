@@ -12,6 +12,7 @@ from .magnetic import (
     magnet_propagators,
     magnetic_template,
     template_dual,
+    template_dual_apply,
     template_propagators,
 )
 from .appr import (
@@ -34,6 +35,7 @@ __all__ = [
     "magnet_propagators",
     "magnetic_template",
     "template_dual",
+    "template_dual_apply",
     "template_propagators",
     "appr_directed_adj",
     "second_directed_adj",

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -32,6 +33,7 @@ from ..ops.spmm import (
     _DENSE_AUTO_MAX_NODES,
     DualPropagator,
     Propagator,
+    _dual_forward_stacked,
     dual_propagator,
     propagator_from_coo,
 )
@@ -422,6 +424,74 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
         Propagator(coo=A_re, dense=None, bsr=None, mode="segment"),
         Propagator(coo=A_im, dense=None, bsr=None, mode="segment"),
     )
+
+
+@jax.custom_vjp
+def template_dual_apply(tmpl: MagneticTemplate, q, x: jnp.ndarray):
+    """[L_re x_a | L_im x_b] for a traced phase q on a flat mxu template.
+
+    The hot path for trainable-q MagNet/MSGNN (reference rebuilds the
+    Laplacian on CPU each forward, MagNetConv.py:141-183).  Its custom
+    backward avoids all extra row gathers on top of the frozen-q cost:
+
+      * dx rides the transposed-plan dual forward, whose own gather of
+        the cotangent is captured and reused,
+      * dq is a plan-order SDDMM against the x table, computed by
+        transposed one-hot MXU matmuls on the (row-window resident)
+        x blocks and contracted with d(val)/dq, fused into the same
+        pallas pass as the scatter
+        (ops.pallas.scatter_mxu.dual_scatter_sddmm).
+
+    A naive autodiff of template_dual + a value-cotangent SpMM pays two
+    additional [E2, 2F] gathers per apply (the XLA gather is row-rate
+    bound); measured 4.1x the frozen train step at N=65k vs this way's
+    ~1.2x.
+    """
+    return _dual_forward_stacked(template_dual(tmpl, q), x)
+
+
+def _tda_fwd(tmpl, q, x):
+    return template_dual_apply(tmpl, q, x), (tmpl, q, x)
+
+
+def _tda_bwd(res, g):
+    from ..ops.pallas.scatter_mxu import dual_scatter_sddmm
+    from ..ops.spmm import get_message_dtype
+
+    tmpl, q, x = res
+    tt = tmpl.transposed
+    if tmpl.mode != "mxu" or tmpl.plan is None or tt is None:
+        raise ValueError("template_dual_apply backward needs a flat mxu "
+                         "template with a transpose (streamed giant "
+                         "graphs keep q frozen)")
+    # One row gather (same count as the frozen backward); everything else
+    # is MXU work in one fused kernel.  For t-plan edge ẽ = (col_e ->
+    # row_e) of original edge e, ge_t[ẽ] = g[row_e] and the t-plan row
+    # table gives x[col_e], so the in-kernel SDDMM contracts
+    # g[row_e]·x[col_e] with d(val)/dq per lane half.
+    # d(-a cos(ang))/dq = a sin(ang)·2πθ ; d(a sin(ang))/dq = a cos(ang)·2πθ
+    # (cos even / sin odd in θ: the same formulas hold in t order).
+    mdt = get_message_dtype() or g.dtype
+    ge_t = g[tt.col].astype(mdt)
+    ang_t = 2.0 * jnp.pi * q * tt.theta
+    scale = 2.0 * jnp.pi * tt.theta * tt.a_norm
+    re_t = -tt.a_norm * jnp.cos(ang_t)
+    im_t = tt.a_norm * jnp.sin(ang_t)
+    w_a = scale * jnp.sin(ang_t)
+    w_b = scale * jnp.cos(ang_t)
+    fa = x.shape[1] // 2
+    dx, partials = dual_scatter_sddmm(tt.plan, ge_t, re_t, im_t,
+                                      w_a, w_b, x, fa)
+    dx = dx.astype(g.dtype)
+    dq = partials.sum().astype(jnp.asarray(q).dtype)
+    zero = jax.tree.map(
+        lambda p: (jnp.zeros_like(p)
+                   if jnp.issubdtype(p.dtype, jnp.floating)
+                   else np.zeros(p.shape, jax.dtypes.float0)), tmpl)
+    return zero, dq, dx
+
+
+template_dual_apply.defvjp(_tda_fwd, _tda_bwd)
 
 
 def template_dual(tmpl: MagneticTemplate, q) -> DualPropagator:

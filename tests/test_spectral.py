@@ -284,6 +284,46 @@ class TestMxuTemplate:
         fd = (float(loss(0.1 + eps)) - float(loss(0.1 - eps))) / (2 * eps)
         assert abs(g - fd) / (abs(fd) + 1e-6) < 2e-2, (g, fd)
 
+    def test_template_dual_apply_fused_vjp(self):
+        """The fused custom-VJP apply (in-kernel SDDMM dq) matches both the
+        generic value-cotangent path and finite differences."""
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+            dual_spmm_stacked_trainable)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_dual, template_dual_apply)
+
+        n = 256
+        ei, w = self._graph(n, seed=11)
+        tmpl = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+
+        def f_fused(q, x):
+            return (template_dual_apply(tmpl, q, x) * g_out).sum()
+
+        def f_generic(q, x):
+            D = template_dual(tmpl, q)
+            return (dual_spmm_stacked_trainable(D, x) * g_out).sum()
+
+        q0 = 0.13
+        va = float(f_fused(q0, x))
+        vb = float(f_generic(q0, x))
+        np.testing.assert_allclose(va, vb, rtol=1e-5)
+
+        dq_a, dx_a = jax.jit(jax.grad(f_fused, argnums=(0, 1)))(q0, x)
+        dq_b, dx_b = jax.jit(jax.grad(f_generic, argnums=(0, 1)))(q0, x)
+        np.testing.assert_allclose(np.asarray(dx_a), np.asarray(dx_b),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(dq_a), float(dq_b),
+                                   rtol=1e-3, atol=1e-5)
+        eps = 1e-3
+        fd = (float(f_fused(q0 + eps, x))
+              - float(f_fused(q0 - eps, x))) / (2 * eps)
+        assert abs(float(dq_a) - fd) / (abs(fd) + 1e-6) < 2e-2, (dq_a, fd)
+
     def test_trainable_q_magnet_model_mxu(self):
         import jax
         import jax.numpy as jnp
