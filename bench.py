@@ -17,6 +17,10 @@ Metrics:
     scatter tier (the giant-graph path).
   * magnet_trainable_q_step_ratio — trainable-q step time over frozen-q
     at the same scale (target <= 1.5).
+  * magnet_giant_train_edges_per_s_per_chip — WikiTalk-scale (N=2.4M)
+    full-batch MagNet on the streamed mxu tier with the hot/cold
+    column-split gather (vs_baseline = speedup over the unsplit gather,
+    measured separately in scripts/bench_giant.py: 1.60x).
   * magnet_train_edges_per_s_per_chip — headline dense-tier MagNet.
 """
 import json
@@ -249,6 +253,53 @@ def bench_sgcn(n, e_pos, e_neg, steps):
           f"N={n}, E={m} signed, 2 layers")
 
 
+def bench_giant(steps):
+    """WikiTalk-scale power-law graph on the streamed mxu tier with the
+    hot/cold column-split gather (full measurement incl. the unsplit
+    comparison lives in scripts/bench_giant.py)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_giant", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts", "bench_giant.py"))
+    bg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bg)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        MagNet_node_classification)
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnet_propagators)
+
+    n = 2_400_000
+    row, col = bg.powerlaw_digraph(n, 10_000_000, alpha=1.0, seed=0)
+    ei = np.vstack([row, col])
+    w = np.ones(len(row), np.float32)
+    x = in_out_degree(ei, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 5, n))
+    lap = magnet_propagators(ei, w, q=0.25, num_nodes=n, mode="mxu")
+    model = MagNet_node_classification(
+        num_features=2, hidden=32, K=2, label_dim=5, activation=True,
+        layer=2)
+    params = model.init(jax.random.PRNGKey(0), x, x, lap)
+    run, st = _train_scanner(_magnet_loss(model), params, steps,
+                             aux=(x, lap, y))
+    dt = _sync_time(run, *st, steps=steps)
+    print(json.dumps({
+        "metric": "magnet_giant_train_edges_per_s_per_chip",
+        "value": round(len(row) / dt, 1),
+        "unit": f"input edges/s (N={n}, E={len(row)}, power-law a=1.0, "
+                f"streamed mxu + col split, fwd+bwd+adam, "
+                f"backend={jax.default_backend()})",
+        "vs_baseline": 1.60,  # speedup over the unsplit gather, same graph
+    }), flush=True)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     from pytorch_geometric_signed_directed_tpu.ops.spmm import (
@@ -266,6 +317,7 @@ def main():
                           metric="magnet_mxu_train_edges_per_s_per_chip")
     bench_trainable_q_ratio(n=65_536, avg_deg=30, steps=30,
                             dt_frozen=dt_mxu)
+    bench_giant(steps=10)
     # headline LAST so drivers that parse the final JSON line keep the
     # round-over-round comparable metric
     bench_magnet(n=n, avg_deg=24, steps=100,

@@ -19,22 +19,29 @@ from pytorch_geometric_signed_directed_tpu.utils import meta_graph_generation
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    # telegram defaults from the TPU sweep (PERF.md): q=0.15, K=2,
-    # hidden=32, lr=5e-3, wd=5e-4, val-selected checkpoint
+    # telegram defaults from the TPU sweeps (PERF.md): binary edge
+    # weights (telegram's raw weights are heavy-tailed interaction counts
+    # that let a few giant edges dominate the sym-normalized Laplacian;
+    # binarizing lifts test acc 0.76 -> 0.94), q=0.2, K=2, hidden=64,
+    # dropout=0.5, lr=5e-3, wd=5e-4, val-selected checkpoint
     ap.add_argument("--dataset", default="telegram")
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--weight_decay", type=float, default=5e-4)
-    ap.add_argument("--hidden", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--K", type=int, default=2)
-    ap.add_argument("--q", type=float, default=0.15)
-    ap.add_argument("--dropout", type=float, default=0.0)
+    ap.add_argument("--q", type=float, default=0.2)
+    ap.add_argument("--dropout", type=float, default=0.5)
     ap.add_argument("--features", choices=("degree", "data"),
                     default="degree",
                     help="degree: in/out-degree (MagNet-paper style); "
                     "data: the dataset's own x (reference-example style)")
     ap.add_argument("--normalize_features", action="store_true",
                     help="row-normalize x to sum 1 (standard for BOW)")
+    ap.add_argument("--edge_weights", choices=("binary", "raw", "log"),
+                    default="binary",
+                    help="transform of the edge weights used for both the "
+                    "Laplacian and the degree features")
     ap.add_argument("--num_nodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -50,16 +57,20 @@ def main(argv=None):
         data = load_directed_real_data(args.dataset, name=args.dataset)
 
     n = data.num_nodes
+    w = np.asarray(data.edge_weight, np.float32)
+    if args.edge_weights == "binary":
+        w = np.ones_like(w)
+    elif args.edge_weights == "log":
+        w = np.log1p(w).astype(np.float32)
     if args.features == "data" and getattr(data, "x", None) is not None:
         x = np.asarray(data.x, np.float32)
         if args.normalize_features:
             x = x / np.maximum(x.sum(1, keepdims=True), 1e-12)
         x = jnp.asarray(x)
     else:
-        x = in_out_degree(data.edge_index, n, edge_weight=data.edge_weight)
+        x = in_out_degree(data.edge_index, n, edge_weight=w)
         x = jnp.asarray(x / max(x.max(), 1.0))
-    lap = magnet_propagators(data.edge_index, data.edge_weight, q=args.q,
-                             num_nodes=n)
+    lap = magnet_propagators(data.edge_index, w, q=args.q, num_nodes=n)
     y = jnp.asarray(data.y)
     label_dim = int(np.asarray(data.y).max()) + 1
 

@@ -225,6 +225,9 @@ class DualPropagator:
     mode: str = struct.field(pytree_node=False)
     transposed: object = None           # Optional[DualPropagator]
     stream: Optional[object] = None     # ops.pallas.scatter_mxu.StreamPlan
+    # col-split layouts: hot edges' col ids index x[hot_ids] (see
+    # ops.pallas.scatter_mxu.col_degree_split); None = unsplit
+    hot_ids: Optional[jnp.ndarray] = None
 
 
 def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
@@ -258,28 +261,34 @@ def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
             _build_plan_host,
             _plan_from_host,
             _stream_from_host,
+            col_degree_split,
             permute_edge_data,
         )
 
-        h = _build_plan_host(row, num_nodes)
+        split = col_degree_split(col, num_cols)
+        grp, hot_ids, col_g = None, None, col
+        if split is not None:
+            grp, col_g, hot_ids = split
+            hot_ids = jnp.asarray(hot_ids)
+        h = _build_plan_host(row, num_nodes, group=grp)
         if len(h["perm"]) > STREAM_THRESHOLD_EDGES:   # padded plan size
             stream, perm = _stream_from_host(h, STREAM_BLOCK_EDGES)
             col_p, va_p, vb_p = permute_edge_data(
-                perm, col.astype(np.int32), val_a, val_b)
+                perm, col_g.astype(np.int32), val_a, val_b)
             s = stream.win.shape[0]
             return DualPropagator(
                 col=jnp.asarray(col_p).reshape(s, -1), row=None,
                 val_a=jnp.asarray(va_p).reshape(s, -1),
                 val_b=jnp.asarray(vb_p).reshape(s, -1),
                 plan=None, num_nodes=num_nodes, num_cols=num_cols,
-                mode="mxu", transposed=t, stream=stream)
+                mode="mxu", transposed=t, stream=stream, hot_ids=hot_ids)
         plan, perm = _plan_from_host(h)
         col_p, va_p, vb_p = permute_edge_data(
-            perm, col.astype(np.int32), val_a, val_b)
+            perm, col_g.astype(np.int32), val_a, val_b)
         return DualPropagator(
             col=jnp.asarray(col_p), row=None, val_a=jnp.asarray(va_p),
             val_b=jnp.asarray(vb_p), plan=plan, num_nodes=num_nodes,
-            num_cols=num_cols, mode="mxu", transposed=t)
+            num_cols=num_cols, mode="mxu", transposed=t, hot_ids=hot_ids)
     A = build_coo(row, col, val_a, num_nodes, num_cols=num_cols)
     B = build_coo(row, col, val_b, num_nodes, num_cols=num_cols)
     return DualPropagator(
@@ -315,6 +324,11 @@ def _dual_forward_stacked(D, x):
     # scatter kernel accumulates in f32 regardless (XLA segment_sum would
     # accumulate in the message dtype)
     mdt = (get_message_dtype() or x.dtype) if D.mode == "mxu" else x.dtype
+    # gather straight from message-dtype tables on the sparse tiers:
+    # bf16 rows halve the gather's read traffic and measure ~15% faster
+    # (the multiply below still runs in f32)
+    xg = x.astype(mdt) if D.mode == "mxu" else x
+    x_hot = xg[D.hot_ids] if D.hot_ids is not None else None
     if D.stream is not None:
         from .pallas.scatter_mxu import streamed_scatter
 
@@ -322,10 +336,20 @@ def _dual_forward_stacked(D, x):
             return (g * jnp.where(lane[None, :], D.val_a[i][:, None],
                                   D.val_b[i][:, None])).astype(mdt)
 
-        out = streamed_scatter(D.stream, D.col, make_msgs, x, 2 * fa,
-                               get_matmul_precision())
+        out = streamed_scatter(D.stream, D.col, make_msgs, xg, 2 * fa,
+                               get_matmul_precision(), x_hot=x_hot)
         return out.astype(x.dtype)
-    g = x[D.col]
+    if x_hot is not None:
+        from .pallas.scatter_mxu import split_scatter_accum
+
+        def make_msgs_slice(g, lo, hi):
+            return (g * jnp.where(lane[None, :], D.val_a[lo:hi][:, None],
+                                  D.val_b[lo:hi][:, None])).astype(mdt)
+
+        out = split_scatter_accum(D.plan, D.col, make_msgs_slice, xg, x_hot,
+                                  2 * fa, get_matmul_precision())
+        return out.astype(x.dtype)
+    g = xg[D.col] if D.mode == "mxu" else x[D.col]
     msgs = (g * jnp.where(lane[None, :], D.val_a[:, None],
                           D.val_b[:, None])).astype(mdt)
     if D.mode == "mxu":
@@ -372,6 +396,10 @@ def _dual_t_fwd(D, x):
 
 def _dual_t_bwd(res, g):
     D, x = res
+    if D.hot_ids is not None:
+        raise ValueError("trainable operator values are not supported on "
+                         "col-split duals (hot cols are remapped); build "
+                         "the template path instead")
     if D.stream is not None:
         raise ValueError("trainable operator values are not supported on "
                          "streamed plans; build the template with a flat "

@@ -472,7 +472,7 @@ def _tda_bwd(res, g):
     # d(-a cos(ang))/dq = a sin(ang)·2πθ ; d(a sin(ang))/dq = a cos(ang)·2πθ
     # (cos even / sin odd in θ: the same formulas hold in t order).
     mdt = get_message_dtype() or g.dtype
-    ge_t = g[tt.col].astype(mdt)
+    ge_t = g.astype(mdt)[tt.col]
     ang_t = 2.0 * jnp.pi * q * tt.theta
     scale = 2.0 * jnp.pi * tt.theta * tt.a_norm
     re_t = -tt.a_norm * jnp.cos(ang_t)

@@ -289,3 +289,71 @@ def test_bf16_message_dtype_close_to_f32():
         spmm_mod.set_message_dtype(None)
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert 0 < rel < 2e-2  # bf16-rounded messages, f32 accumulation
+
+
+def test_col_split_forward_and_grad(monkeypatch):
+    """Hot/cold column-split layouts (flat and streamed) match scipy and
+    the unsplit path, forward and backward."""
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import scatter_mxu
+
+    monkeypatch.setattr(scatter_mxu, "COL_SPLIT_MIN_COLS", 100)
+    monkeypatch.setattr(scatter_mxu, "GATHER_FAST_ROWS", 64)
+    monkeypatch.setattr(scatter_mxu, "COL_SPLIT_MIN_COVERAGE", 0.0)
+
+    n, e, f = 600, 7000, 24
+    rng = np.random.default_rng(12)
+    # skewed col degrees so a real hot set exists
+    col = (rng.zipf(1.3, e) - 1) % n
+    row = rng.integers(0, n, e)
+    val = rng.standard_normal(e).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    S = sp.coo_matrix((val, (row, col)), shape=(n, n)).tocsr()
+    ref = S @ np.asarray(x)
+    A = build_coo(row, col, val, n, sum_duplicates=True)
+
+    for threshold in (10 ** 9, 2000):   # flat split / streamed split
+        M = mxu_from_coo(A, stream_threshold=threshold,
+                         stream_block_edges=1500)
+        assert M.hot_ids is not None
+        if threshold == 2000:
+            assert M.stream is not None and M.stream.hot_blocks > 0
+        else:
+            assert M.plan.hot_chunks > 0
+        out = np.asarray(mxu_spmm(M, x))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        # backward = transposed forward; check against dense
+        g = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+        (dx,) = jax.grad(lambda xx: (mxu_spmm(M, xx) * g).sum())(x),
+        np.testing.assert_allclose(np.asarray(dx), S.T @ np.asarray(g),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_col_split_dual_matches_unsplit(monkeypatch):
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import scatter_mxu
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_propagator, dual_spmm_stacked)
+
+    n, e, f = 500, 6000, 12
+    rng = np.random.default_rng(5)
+    col = (rng.zipf(1.3, e) - 1) % n
+    row = rng.integers(0, n, e)
+    va = rng.standard_normal(e).astype(np.float32)
+    vb = rng.standard_normal(e).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((n, 2 * f)).astype(np.float32))
+
+    D0 = dual_propagator(row, col, va, vb, n, mode="mxu")
+    ref = np.asarray(dual_spmm_stacked(D0, x))
+
+    monkeypatch.setattr(scatter_mxu, "COL_SPLIT_MIN_COLS", 100)
+    monkeypatch.setattr(scatter_mxu, "GATHER_FAST_ROWS", 64)
+    monkeypatch.setattr(scatter_mxu, "COL_SPLIT_MIN_COVERAGE", 0.0)
+    D1 = dual_propagator(row, col, va, vb, n, mode="mxu")
+    assert D1.hot_ids is not None and D1.plan.hot_chunks > 0
+    out = np.asarray(dual_spmm_stacked(D1, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    g = jnp.asarray(rng.standard_normal(ref.shape).astype(np.float32))
+    dx0 = jax.grad(lambda xx: (dual_spmm_stacked(D0, xx) * g).sum())(x)
+    dx1 = jax.grad(lambda xx: (dual_spmm_stacked(D1, xx) * g).sum())(x)
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0),
+                               rtol=1e-4, atol=1e-4)
