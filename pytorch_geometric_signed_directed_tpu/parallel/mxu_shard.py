@@ -37,7 +37,9 @@ from ..ops.pallas.scatter_mxu import (
     SUB,
     _build_plan_host,
     _pick_geometry,
+    _scatter_accum,
     _scatter_matmul,
+    col_degree_split,
     permute_edge_data,
 )
 
@@ -66,6 +68,11 @@ class ShardedMXU:
     mesh: Mesh = struct.field(pytree_node=False)
     axis: str = struct.field(pytree_node=False)
     transposed: object = None  # Optional[ShardedMXU]
+    # col-split layouts (see ops.pallas.scatter_mxu.col_degree_split):
+    # the first hot_chunks chunks of EVERY device gather from the
+    # replicated compact table x[hot_ids]; 0/None = unsplit
+    hot_ids: Optional[jnp.ndarray] = None
+    hot_chunks: int = struct.field(pytree_node=False, default=0)
 
 
 def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
@@ -83,17 +90,27 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
         t = build_sharded_mxu(col, row, val, num_cols, num_rows, mesh, axis,
                               val_b=val_b, with_transpose=False)
 
+    # global col split shared by every device (the gather source is the
+    # replicated activation, so one compact hot table serves all)
+    split = col_degree_split(col, num_cols)
+    grp_all, hot_ids = None, None
+    if split is not None:
+        grp_all, col, hot_ids = split
+
     rows_per = -(-max(num_rows, 1) // n_dev)
     owner = row // rows_per if len(row) else row
     local = row - owner * rows_per
     # one geometry for every device so the stacked plans share one kernel
-    window, chunk = _pick_geometry(np.sort(local), rows_per)
+    o = np.argsort(local, kind="stable")
+    window, chunk = _pick_geometry(
+        local[o], rows_per, None if grp_all is None else grp_all[o])
     sub = chunk // SUB
 
     hs, perms = [], []
     for d in range(n_dev):
         m = owner == d
-        h = _build_plan_host(local[m], rows_per, chunk=chunk, window=window)
+        h = _build_plan_host(local[m], rows_per, chunk=chunk, window=window,
+                             group=None if grp_all is None else grp_all[m])
         hs.append(h)
         # perm indexes the DEVICE-LOCAL edge list; lift to global edge ids
         gidx = np.flatnonzero(m)
@@ -103,7 +120,13 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
         perms.append(p)
 
     num_windows = hs[0]["num_windows"]
-    c_max = max(len(h["win"]) for h in hs)
+    # sectioned stacking: every device's hot chunks sit in [0, hc_max) and
+    # cold chunks in [hc_max, c_max) so the shard_map body can slice the
+    # sections statically; dummy chunks have all-padding local rows (no
+    # writes under the accumulate kernel) and any valid window id
+    hc_max = max(h["hot_chunks"] for h in hs)
+    cc_max = max(len(h["win"]) - h["hot_chunks"] for h in hs)
+    c_max = hc_max + cc_max
     e2 = c_max * chunk
 
     win_s = np.zeros((n_dev, c_max), np.int32)
@@ -113,13 +136,23 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
     val_s = np.zeros((n_dev, e2), np.float32)
     vb_s = np.zeros((n_dev, e2), np.float32) if val_b is not None else None
     for d, (h, p) in enumerate(zip(hs, perms)):
-        c = len(h["win"])
-        win_s[d, :c] = h["win"]
-        win_s[d, c:] = h["win"][-1]   # dummy chunks revisit the last window
-        lr_s[d, : c * sub] = h["lr"].reshape(-1, SUB)
-        vis_s[d] = h["visited"]
+        hc = h["hot_chunks"]
+        nc = len(h["win"]) - hc
         pad = np.full(e2, -1, np.int64)
-        pad[: len(p)] = p
+        for (src0, cnt, dst0, dst1) in ((0, hc, 0, hc_max),
+                                        (hc, nc, hc_max, c_max)):
+            if cnt == 0:
+                continue   # all-dummy section: win 0 + all-padding rows is
+                           # harmless under the accumulate kernel
+            win_s[d, dst0:dst0 + cnt] = h["win"][src0:src0 + cnt]
+            # trailing dummies revisit the section's last window so the
+            # unsplit _scatter_matmul zero-on-first-visit logic holds
+            win_s[d, dst0 + cnt:dst1] = h["win"][src0 + cnt - 1]
+            lr_s[d, dst0 * sub:(dst0 + cnt) * sub] = (
+                h["lr"][src0 * chunk:(src0 + cnt) * chunk].reshape(-1, SUB))
+            pad[dst0 * chunk:(dst0 + cnt) * chunk] = (
+                p[src0 * chunk:(src0 + cnt) * chunk])
+        vis_s[d] = h["visited"]
         if val_b is None:
             cp, vp = permute_edge_data(pad, col.astype(np.int32), val)
             col_s[d], val_s[d] = cp, vp
@@ -141,22 +174,35 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
         num_rows=num_rows, num_cols=num_cols, rows_per_device=rows_per,
         num_windows=num_windows, window=window, n_devices=n_dev,
         mesh=mesh, axis=axis, transposed=t,
+        hot_ids=None if hot_ids is None else put(jnp.asarray(hot_ids),
+                                                 P(None)),
+        hot_chunks=hc_max,
     )
 
 
 def _local_apply(S: ShardedMXU, x, make_msgs):
-    """shard_map body factory: local gather + Pallas scatter + all-gather."""
+    """shard_map body factory: local gather + Pallas scatter + all-gather.
+
+    Col-split layouts run two aliased accumulate passes into one
+    zero-initialized buffer: the leading hot chunks gather from the
+    replicated compact table x[hot_ids], the rest from x itself.
+    """
     axis, window = S.axis, S.window
     rows_per, nw = S.rows_per_device, S.num_windows
+    hc = S.hot_chunks
     interpret = jax.default_backend() != "tpu"
+    from ..ops.pallas.scatter_mxu import _kernel_precision
     from ..ops.spmm import get_matmul_precision
 
     prec = get_matmul_precision()
     has_b = S.val_b is not None
+    split = S.hot_ids is not None
     in_specs = (P(axis, None), P(axis, None, None), P(axis, None),
                 P(axis, None), P(axis, None))
     if has_b:
         in_specs = in_specs + (P(axis, None),)
+    if split:
+        in_specs = in_specs + (P(None),)
     in_specs = in_specs + (P(None, None),)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -164,24 +210,47 @@ def _local_apply(S: ShardedMXU, x, make_msgs):
     @functools.partial(shard_map, mesh=S.mesh, in_specs=in_specs,
                        out_specs=P(None, None), check_vma=False)
     def run(*args):
-        if has_b:
-            win, lr, visited, col, val, vb, xx = args
-            vb = vb[0]
-        else:
-            win, lr, visited, col, val, xx = args
-            vb = None
-        win, lr, visited = win[0], lr[0], visited[0]
-        col, val = col[0], val[0]
-        msgs = make_msgs(xx[col], val, vb)
-        out = _scatter_matmul(win, lr, msgs, nw, window=window,
-                              interpret=interpret, precision=prec)
-        mask = jnp.repeat(visited, window)[:rows_per]
-        out = jnp.where(mask[:, None], out[:rows_per], 0.0)
-        return jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        args = list(args)
+        xx = args.pop()
+        hot_ids = args.pop() if split else None
+        vb = args.pop()[0] if has_b else None
+        win, lr, visited, col, val = (a[0] for a in args)
+        if not split:
+            msgs = make_msgs(xx[col], val, vb)
+            out = _scatter_matmul(
+                win, lr, msgs, nw, window=window, interpret=interpret,
+                precision=_kernel_precision(msgs.dtype, prec))
+            mask = jnp.repeat(visited, window)[:rows_per]
+            out = jnp.where(mask[:, None], out[:rows_per], 0.0)
+            return jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        sub = lr.shape[0] // win.shape[0]
+        chunk = sub * SUB
+        he = hc * chunk
+        xh = xx[hot_ids]
+        out = None
+        f = None
+        for (c0, c1, e0, e1, src) in ((0, hc, 0, he, xh),
+                                      (hc, win.shape[0], he, col.shape[0],
+                                       xx)):
+            if c1 == c0:
+                continue
+            g = src[col[e0:e1]]
+            msgs = make_msgs(g, val[e0:e1],
+                             None if vb is None else vb[e0:e1])
+            if out is None:
+                f = msgs.shape[1]
+                out = jnp.zeros((nw * window, f), jnp.float32)
+            out = _scatter_accum(
+                win[c0:c1], lr[c0 * sub:c1 * sub], msgs, out,
+                window=window, interpret=interpret,
+                precision=_kernel_precision(msgs.dtype, prec))
+        return jax.lax.all_gather(out[:rows_per], axis, axis=0, tiled=True)
 
     args = (S.win, S.local_rows, S.visited, S.col, S.val)
     if has_b:
         args = args + (S.val_b,)
+    if split:
+        args = args + (S.hot_ids,)
     out = run(*args, x)
     return out[: S.num_rows]
 
@@ -235,37 +304,63 @@ sharded_mxu_spmm.defvjp(_fwd, _bwd)
 # Host-side extraction of valid COO triples from built single-chip operators
 # (lets shard_propagator/shard_dual re-partition without keeping raw edges).
 
+def _unsplit_cols(op, valid_idx: np.ndarray) -> np.ndarray:
+    """Original column ids of the given flat-layout edge positions.
+
+    Col-split operators store compact indices into x[hot_ids] for edges
+    in the hot section (leading hot chunks / blocks); map those back so
+    re-partitioning sees real column ids.
+    """
+    col = np.asarray(op.col).reshape(-1)[valid_idx]
+    if op.hot_ids is None:
+        return col
+    if op.plan is not None:
+        chunk = (op.plan.local_rows.shape[0]
+                 // op.plan.win.shape[0]) * SUB
+        hot_edges = op.plan.hot_chunks * chunk
+    else:
+        hot_edges = op.stream.hot_blocks * op.stream.edges_per_block
+    hot_ids = np.asarray(op.hot_ids)
+    is_hot = valid_idx < hot_edges
+    out = col.astype(np.int64).copy()
+    out[is_hot] = hot_ids[col[is_hot]]
+    return out
+
+
 def _coo_from_mxu(m) -> tuple:
     """(row, col, val) numpy triples of the valid edges of an MXUCoo."""
     if m.plan is not None:
         gr = np.asarray(m.plan.global_rows)
-        valid = gr < m.plan.num_rows
-        return (gr[valid],
-                np.asarray(m.col)[valid], np.asarray(m.val)[valid])
+        valid = np.flatnonzero(gr < m.plan.num_rows)
+        return (gr[valid], _unsplit_cols(m, valid),
+                np.asarray(m.val).reshape(-1)[valid])
     st = m.stream
     window = st.window
     # per-chunk window ids -> per-edge rows; local_rows==window marks padding
     lr = np.asarray(st.local_rows).reshape(st.win.shape[0], -1)  # [S, E_blk]
     win = np.repeat(np.asarray(st.win),
                     lr.shape[1] // st.win.shape[1], axis=1)
-    valid = lr < window
-    rows = (win * window + lr)[valid]
-    return (rows, np.asarray(m.col)[valid], np.asarray(m.val)[valid])
+    valid = np.flatnonzero((lr < window).reshape(-1))
+    rows = (win * window + lr).reshape(-1)[valid]
+    return (rows, _unsplit_cols(m, valid),
+            np.asarray(m.val).reshape(-1)[valid])
 
 
 def _coo_from_dual(d) -> tuple:
     """(row, col, val_a, val_b) of the valid edges of an mxu DualPropagator."""
     if d.plan is not None:
         gr = np.asarray(d.plan.global_rows)
-        valid = gr < d.plan.num_rows
-        return (gr[valid], np.asarray(d.col)[valid],
-                np.asarray(d.val_a)[valid], np.asarray(d.val_b)[valid])
+        valid = np.flatnonzero(gr < d.plan.num_rows)
+        return (gr[valid], _unsplit_cols(d, valid),
+                np.asarray(d.val_a).reshape(-1)[valid],
+                np.asarray(d.val_b).reshape(-1)[valid])
     st = d.stream
     window = st.window
     lr = np.asarray(st.local_rows).reshape(st.win.shape[0], -1)
     win = np.repeat(np.asarray(st.win),
                     lr.shape[1] // st.win.shape[1], axis=1)
-    valid = lr < window
-    rows = (win * window + lr)[valid]
-    return (rows, np.asarray(d.col)[valid],
-            np.asarray(d.val_a)[valid], np.asarray(d.val_b)[valid])
+    valid = np.flatnonzero((lr < window).reshape(-1))
+    rows = (win * window + lr).reshape(-1)[valid]
+    return (rows, _unsplit_cols(d, valid),
+            np.asarray(d.val_a).reshape(-1)[valid],
+            np.asarray(d.val_b).reshape(-1)[valid])

@@ -340,3 +340,59 @@ def test_sharded_dual_matches_flat():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(yb_s), np.asarray(yb),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_dual_from_col_split_operator(monkeypatch):
+    """A col-split single-chip dual re-partitions correctly: the
+    extraction must map compact hot col ids back to the originals."""
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_propagator, dual_spmm)
+    from pytorch_geometric_signed_directed_tpu.ops.coalesce import (
+        coalesce_edges)
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+        scatter_mxu as sm)
+    from pytorch_geometric_signed_directed_tpu.parallel import shard_dual
+
+    monkeypatch.setattr(sm, "COL_SPLIT_MIN_COLS", 100)
+    monkeypatch.setattr(sm, "GATHER_FAST_ROWS", 64)
+    monkeypatch.setattr(sm, "COL_SPLIT_MIN_COVERAGE", 0.0)
+
+    rng = np.random.default_rng(9)
+    n, e = 512, 6000
+    row, col, va, vb = coalesce_edges(
+        rng.integers(0, n, e), (rng.zipf(1.3, e) - 1) % n,
+        rng.standard_normal(e).astype(np.float32),
+        rng.standard_normal(e).astype(np.float32), num_cols=n)
+    for streamed in (False, True):
+        if streamed:
+            monkeypatch.setattr(sm, "STREAM_THRESHOLD_EDGES", 1000)
+            monkeypatch.setattr(sm, "STREAM_BLOCK_EDGES", 2048)
+        D = dual_propagator(row, col, va, vb, n, mode="mxu")
+        assert D.hot_ids is not None
+        assert (D.stream is not None) == streamed
+        xa = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+        xb = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+        ya, yb = dual_spmm(D, xa, xb)
+
+        mesh = make_mesh(8)
+        Ds = shard_dual(D, mesh)
+        # the sharded rebuild must itself re-split (same thresholds)
+        assert Ds.plan.hot_ids is not None and Ds.plan.hot_chunks > 0
+        with mesh:
+            ya_s, yb_s = jax.jit(dual_spmm)(Ds, xa, xb)
+        np.testing.assert_allclose(np.asarray(ya_s), np.asarray(ya),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(yb_s), np.asarray(yb),
+                                   rtol=1e-4, atol=1e-4)
+
+        # backward parity through the sharded split layout
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+            dual_spmm_stacked)
+        xcat = jnp.concatenate([xa, xb], axis=1)
+        g_ref = jax.grad(
+            lambda v: (dual_spmm_stacked(D, v) ** 2).sum())(xcat)
+        with mesh:
+            g = jax.jit(jax.grad(
+                lambda v: (dual_spmm_stacked(Ds, v) ** 2).sum()))(xcat)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=1e-3, atol=1e-3)
