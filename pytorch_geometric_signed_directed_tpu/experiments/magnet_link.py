@@ -43,6 +43,11 @@ def main(argv=None):
     ap.add_argument("--splits", type=int, default=2)
     ap.add_argument("--num_nodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--edge_weights", choices=("binary", "raw", "log"),
+                    default="binary",
+                    help="transform of the observed-graph edge weights "
+                    "(heavy-tailed counts drown the normalized Laplacian; "
+                    "see PERF.md telegram findings)")
     args = ap.parse_args(argv)
     label_dim = args.num_classes or (3 if args.task == "three_class_digraph"
                                      else 2)
@@ -53,6 +58,11 @@ def main(argv=None):
     accs = []
     for i in datasets:
         g, w = datasets[i]["graph"], datasets[i]["weights"]
+        w = np.asarray(w, np.float32)
+        if args.edge_weights == "binary":
+            w = np.ones_like(w)
+        elif args.edge_weights == "log":
+            w = np.log1p(w).astype(np.float32)
         x = in_out_degree(g, data.num_nodes, edge_weight=w)
         x = jnp.asarray(x / max(x.max(), 1.0))
         lap = magnet_propagators(g, w, q=args.q, num_nodes=data.num_nodes)
