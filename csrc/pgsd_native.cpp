@@ -169,7 +169,7 @@ void pgsd_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out) {
     std::vector<int64_t> hist(BUCKETS);
     int shift = 0;
     bool flip = false;
-    while (shift == 0 || (max_key >> shift) != 0) {
+    while (shift == 0 || (shift < 64 && (max_key >> shift) != 0)) {
         uint64_t* src_k = flip ? kb.data() : ka.data();
         uint64_t* dst_k = flip ? ka.data() : kb.data();
         int64_t* src_p = flip ? pb.data() : pa.data();

@@ -464,6 +464,12 @@ def _tda_bwd(res, g):
         raise ValueError("template_dual_apply backward needs a flat mxu "
                          "template with a transpose (streamed giant "
                          "graphs keep q frozen)")
+    if tmpl.plan.hot_chunks or tt.plan.hot_chunks:
+        # templates are built unsplit today; guard the invariant the
+        # fused kernel relies on (no compact col remap, one window
+        # section) in case that ever changes
+        raise ValueError("template_dual_apply does not support col-split "
+                         "plans")
     # One row gather (same count as the frozen backward); everything else
     # is MXU work in one fused kernel.  For t-plan edge ẽ = (col_e ->
     # row_e) of original edge e, ge_t[ẽ] = g[row_e] and the t-plan row
