@@ -66,13 +66,19 @@ def _pick_geometry(row_sorted: np.ndarray, num_rows: int,
     one-hot must stay within ~4MB f32.  With a hot/cold ``group`` each
     (window, group) run pads separately, so the model counts those bins."""
     best, best_cost = (WINDOW, CHUNK), float("inf")
+    # One bincount at the finest window; wider windows' histograms are
+    # pair-sums of it (row//256 == (row//128)//2) — the bincount over the
+    # edge list is the dominant cost of geometry selection at giant scale.
+    nw128 = _round_up(max(num_rows, 1), 512) // 128
+    bins128 = row_sorted // 128
+    if group_sorted is not None:
+        c128 = np.bincount(bins128 * 2 + group_sorted, minlength=nw128 * 2
+                           ).reshape(nw128, 2)
+    else:
+        c128 = np.bincount(bins128, minlength=nw128)[:, None]
     for window in (128, 256, 512):
-        nw = _round_up(max(num_rows, 1), window) // window
-        bins = row_sorted // window
-        if group_sorted is not None:
-            bins = bins * 2 + group_sorted
-            nw *= 2
-        counts = np.bincount(bins, minlength=nw)
+        f = window // 128
+        counts = c128.reshape(nw128 // f, f, -1).sum(axis=1).ravel()
         counts = counts[counts > 0]
         # chunk >= 1024 keeps local-row blocks at >= 8 sublanes (Mosaic
         # requires the block's second-to-last dim divisible by 8)

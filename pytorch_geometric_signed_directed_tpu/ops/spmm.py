@@ -296,6 +296,42 @@ def dual_propagator(row, col, val_a, val_b, num_nodes: Optional[int] = None,
         num_nodes=num_nodes, num_cols=num_cols, mode="segment", transposed=t)
 
 
+def propagators_from_dual(D: DualPropagator) -> Tuple[Propagator, Propagator]:
+    """Split a fused pair into two standalone Propagators for free.
+
+    The dual already holds the scatter plan (or stream) plus both value
+    sets in plan order, so the standalone A and B operators are just views
+    over its tensors — no plan rebuild, no host<->device round-trip.  At
+    WikiTalk scale this replaces ~2/3 of preprocessing (4 of 6 host plan
+    constructions plus six multi-second device fetches, measured).
+    """
+    if D.mode == "mxu":
+        from .pallas.scatter_mxu import MXUCoo
+
+        def one(d, which):
+            t = one(d.transposed, which) if d.transposed is not None else None
+            return MXUCoo(plan=d.plan,
+                          col=d.col,
+                          val=d.val_a if which == "a" else d.val_b,
+                          num_cols=d.num_cols, transposed=t,
+                          stream=d.stream, hot_ids=d.hot_ids)
+
+        return (Propagator(coo=None, dense=None, bsr=None,
+                           mxu=one(D, "a"), mode="mxu"),
+                Propagator(coo=None, dense=None, bsr=None,
+                           mxu=one(D, "b"), mode="mxu"))
+    if D.mode != "segment":
+        raise ValueError(f"cannot split a {D.mode!r}-tier dual")
+    A = COO(row=D.row, col=D.col, val=D.val_a,
+            num_nodes=D.num_nodes, num_cols=D.num_cols,
+            nnz=int(D.row.shape[0]))
+    B = COO(row=D.row, col=D.col, val=D.val_b,
+            num_nodes=D.num_nodes, num_cols=D.num_cols,
+            nnz=int(D.row.shape[0]))
+    return (Propagator(coo=A, dense=None, bsr=None, mode="segment"),
+            Propagator(coo=B, dense=None, bsr=None, mode="segment"))
+
+
 @jax.custom_vjp
 def dual_spmm_stacked(D: DualPropagator, x: jnp.ndarray) -> jnp.ndarray:
     """[A x_a | B x_b] for lane-stacked x = [x_a | x_b] ([N, 2F]).

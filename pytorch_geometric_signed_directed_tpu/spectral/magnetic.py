@@ -36,6 +36,7 @@ from ..ops.spmm import (
     _dual_forward_stacked,
     dual_propagator,
     propagator_from_coo,
+    propagators_from_dual,
 )
 
 
@@ -243,11 +244,15 @@ def magnet_propagators(
 
     dual = dual_propagator(row, col, vre, vim, num_nodes, mode=mode)
     # When the fused dual exists it carries the hot path (MagNetConv /
-    # MSConv use it exclusively); under mode="auto" the standalone re/im
-    # operators are kept on the cheap-to-build segment tier instead of
-    # paying four more mxu plan constructions (~2/3 of preprocessing time
-    # at WikiTalk scale).  An explicitly requested mode is honored for the
-    # standalone operators too (consumers of pair.re / pair.im directly).
+    # MSConv use it exclusively), and the standalone re/im operators are
+    # free VIEWS over its plan-ordered tensors (propagators_from_dual) —
+    # same tier, no extra plan construction, no device round-trip.  Before
+    # this sharing, building the singles separately was ~2/3 of
+    # preprocessing time at WikiTalk scale (4 of 6 host plan builds plus
+    # six multi-second device fetches, measured on the tunneled v5e).
+    if dual is not None and dual.mode == "mxu":
+        P_re, P_im = propagators_from_dual(dual)
+        return MagneticPair(re=P_re, im=P_im, dual=dual)
     single_mode = ("segment" if (dual is not None and mode == "auto")
                    else mode)
     A_re = build_coo(row, col, vre, num_nodes)

@@ -112,6 +112,65 @@ def test_magnet_propagators_scaled():
     np.testing.assert_allclose(np.asarray(P_im.dense), Lhat.imag.T, atol=1e-6)
 
 
+def test_mxu_singles_are_views_of_the_dual():
+    """mode='mxu' standalone re/im operators (free views over the dual's
+    scatter plan, ops.spmm.propagators_from_dual) match the dense tier for
+    forward AND gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 150
+    ei, w = random_digraph(n, 900, seed=13)
+    pair_m = magnet_propagators(ei, w, q=0.2, num_nodes=n, mode="mxu")
+    pair_d = magnet_propagators(ei, w, q=0.2, num_nodes=n, mode="dense")
+    assert pair_m.re.mode == "mxu" and pair_m.im.mode == "mxu"
+    # shared plan: the view must not have rebuilt anything
+    assert pair_m.re.mxu.plan is pair_m.dual.plan
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((n, 8)).astype(np.float32))
+    for which in ("re", "im"):
+        Pm, Pd = getattr(pair_m, which), getattr(pair_d, which)
+        np.testing.assert_allclose(np.asarray(Pm(x)), np.asarray(Pd(x)),
+                                   atol=1e-5)
+        gm = jax.grad(lambda x: jnp.sum(jnp.sin(Pm(x))))(x)
+        gd = jax.grad(lambda x: jnp.sum(jnp.sin(Pd(x))))(x)
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(gd),
+                                   atol=1e-5)
+
+
+def test_mxu_singles_streamed_views():
+    """The view split also holds for streamed (giant-graph) duals."""
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import scatter_mxu
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        propagators_from_dual)
+
+    n = 600
+    ei, w = random_digraph(n, 4000, seed=17)
+    saved = scatter_mxu.STREAM_THRESHOLD_EDGES
+    scatter_mxu.STREAM_THRESHOLD_EDGES = 1024
+    try:
+        pair_m = magnet_propagators(ei, w, q=0.1, num_nodes=n, mode="mxu")
+    finally:
+        scatter_mxu.STREAM_THRESHOLD_EDGES = saved
+    assert pair_m.dual.stream is not None
+    assert pair_m.re.mxu.stream is pair_m.dual.stream
+    pair_d = magnet_propagators(ei, w, q=0.1, num_nodes=n, mode="dense")
+    x = jnp.asarray(np.random.default_rng(1)
+                    .standard_normal((n, 4)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(pair_m.re(x)),
+                               np.asarray(pair_d.re(x)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pair_m.im(x)),
+                               np.asarray(pair_d.im(x)), atol=1e-5)
+    # splitting a segment dual also works (COO views)
+    pair_s = magnet_propagators(ei, w, q=0.1, num_nodes=n, mode="segment")
+    P_re, P_im = propagators_from_dual(pair_s.dual)
+    np.testing.assert_allclose(np.asarray(P_re(x)),
+                               np.asarray(pair_d.re(x)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(P_im(x)),
+                               np.asarray(pair_d.im(x)), atol=1e-5)
+
+
 @pytest.mark.parametrize("mode", ["dense", "segment"])
 def test_template_matches_static(mode):
     n = 25
