@@ -124,33 +124,39 @@ def _laplacian_core(
         deg_w = np.abs(sym)
     deg = np.bincount(row, weights=deg_w, minlength=num_nodes)
 
-    phase = np.exp(1j * 2 * np.pi * q * theta)
+    # exp(i*ang) kept as separate cos/sin — complex128 temporaries double
+    # the memory traffic of this pass at giant scale for no precision gain
+    ang = (2 * np.pi * q) * theta
+    cos_p, sin_p = np.cos(ang), np.sin(ang)
 
     if normalization is None:
         # L = D - A_sym . exp(i Theta); edges first, then self-loop deg
         # entries — same ordering as the reference's add_self_loops append.
         out_row = np.concatenate([row, np.arange(num_nodes)])
         out_col = np.concatenate([col, np.arange(num_nodes)])
-        w = np.concatenate([-sym * phase, deg.astype(np.complex128)])
+        w_re = np.concatenate([-sym * cos_p, deg])
+        w_im = np.concatenate([-sym * sin_p, np.zeros(num_nodes)])
     else:
         deg_inv_sqrt = np.zeros_like(deg)
         nz = deg > 0
         deg_inv_sqrt[nz] = deg[nz] ** -0.5
-        norm_w = deg_inv_sqrt[row] * sym * deg_inv_sqrt[col] * phase
+        norm_w = deg_inv_sqrt[row] * sym * deg_inv_sqrt[col]
         out_row = np.concatenate([row, np.arange(num_nodes)])
         out_col = np.concatenate([col, np.arange(num_nodes)])
-        w = np.concatenate([-norm_w, np.ones(num_nodes, dtype=np.complex128)])
+        w_re = np.concatenate([-norm_w * cos_p, np.ones(num_nodes)])
+        w_im = np.concatenate([-norm_w * sin_p, np.zeros(num_nodes)])
 
     edge_index_out = np.stack([out_row, out_col])
     if not return_lambda_max:
-        return edge_index_out, w.real, w.imag
+        return edge_index_out, w_re, w_im
     import scipy.sparse as sp
     from scipy.sparse.linalg import eigsh
 
-    L = sp.coo_matrix((w, (out_row, out_col)), shape=(num_nodes, num_nodes))
+    L = sp.coo_matrix((w_re + 1j * w_im, (out_row, out_col)),
+                      shape=(num_nodes, num_nodes))
     lambda_max = eigsh(L.tocsr(), k=1, which="LM", return_eigenvectors=False)
     lambda_max = float(np.asarray(lambda_max).real.item())
-    return edge_index_out, w.real, w.imag, lambda_max
+    return edge_index_out, w_re, w_im, lambda_max
 
 
 def magnetic_laplacian(
@@ -230,17 +236,37 @@ def magnet_propagators(
     # minus: the conv applies L^T and L_im is antisymmetric (see docstring)
     w_im = -2.0 * w_im / lambda_max
     # Extra self-loops of -1 on the real part: L_hat = 2L/lambda - I
-    # (reference MagNetConv.py:110-111).  The imaginary part gets explicit
+    # (reference MagNetConv.py:110-111).  The imaginary part keeps explicit
     # zero-weight loops so both operators share one coalesced structure —
     # that shared sparsity is what lets the sparse tiers apply (re, im) as
     # a single lane-stacked gather+scatter (DualPropagator).
+    #
+    # _laplacian_core returns [unique (row, col)-sorted off-diagonal edges;
+    # then the N diagonal entries] — the -I therefore lands entirely on the
+    # trailing loop section, and producing the final coalesced layout is a
+    # merge of two sorted unique key sequences, not a re-sort of the whole
+    # edge list (the full coalesce cost ~9s of preprocessing at WikiTalk
+    # scale).
     loops = np.arange(num_nodes)
-    row_s = np.concatenate([ei[0], loops])
-    col_s = np.concatenate([ei[1], loops])
-    w_re = np.concatenate([w_re, -np.ones(num_nodes)])
-    w_im = np.concatenate([w_im, np.zeros(num_nodes)])
-    row, col, vre, vim = coalesce_edges(row_s, col_s, w_re, w_im,
-                                        num_cols=num_nodes)
+    e_off = ei.shape[1] - num_nodes
+    assert np.array_equal(ei[0, e_off:], loops) and \
+        np.array_equal(ei[1, e_off:], loops), "unexpected Laplacian layout"
+    w_re[e_off:] -= 1.0
+    ke = ei[0, :e_off] * np.int64(num_nodes) + ei[1, :e_off]
+    kl = loops * np.int64(num_nodes) + loops
+    edge_dst = np.arange(e_off) + np.searchsorted(kl, ke)
+    loop_dst = np.searchsorted(ke, kl) + loops
+    total = e_off + num_nodes
+    row = np.empty(total, np.int64)
+    col = np.empty(total, np.int64)
+    vre = np.empty(total, w_re.dtype)
+    vim = np.empty(total, w_im.dtype)
+    for dst, sl in ((edge_dst, slice(None, e_off)),
+                    (loop_dst, slice(e_off, None))):
+        row[dst] = ei[0, sl]
+        col[dst] = ei[1, sl]
+        vre[dst] = w_re[sl]
+        vim[dst] = w_im[sl]
 
     dual = dual_propagator(row, col, vre, vim, num_nodes, mode=mode)
     # When the fused dual exists it carries the hot path (MagNetConv /
