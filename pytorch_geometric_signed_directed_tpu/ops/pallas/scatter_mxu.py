@@ -766,6 +766,153 @@ def dual_scatter_sddmm(plan: ScatterPlan, ge: jnp.ndarray, va, vb, wa, wb,
     return out, acc[0]
 
 
+def _dual_bwd_kernel_accum(win_ref, lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
+                           ge_ref, x_ref, out_in_ref, acc_in_ref,
+                           out_ref, acc_ref, *, window, fa, precision):
+    """_dual_bwd_kernel with streamed-block aliasing: a window's first
+    chunk within the block seeds from the aliased prior output buffer
+    (windows never straddle blocks, same contract as _kernel_accum), and
+    the SDDMM partials seed from the aliased prior accumulator — so
+    consecutive blocks of a stream plan accumulate both results in
+    place."""
+    i = pl.program_id(0)
+    prev = win_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, win_ref[i] != prev)
+
+    @pl.when(is_first)
+    def _():
+        out_ref[...] = out_in_ref[...]
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = acc_in_ref[...]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
+    onehot = jnp.concatenate(
+        [(rows == lr_ref[a][None, :]).astype(ge_ref.dtype)
+         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
+    f2 = ge_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, f2), 1)
+    valsel = jnp.concatenate(
+        [jnp.where(lanes < fa, va_ref[a][:, None], vb_ref[a][:, None])
+         for a in range(va_ref.shape[0])], axis=0)    # [chunk, 2F]
+    ge = ge_ref[...].astype(jnp.float32)
+    msgs = (ge * valsel).astype(ge_ref.dtype)
+    out_ref[...] += jnp.dot(onehot, msgs,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+    xe = jax.lax.dot_general(
+        onehot, x_ref[...].astype(ge_ref.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    wsel = jnp.concatenate(
+        [jnp.where(lanes < fa, wa_ref[a][:, None], wb_ref[a][:, None])
+         for a in range(wa_ref.shape[0])], axis=0)
+    acc_ref[...] += jnp.sum(xe * ge * wsel, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "fa", "interpret",
+                                    "precision"))
+def _dual_bwd_accum(win, local_rows, va, vb, wa, wb, ge, x_pad, out, acc,
+                    window: int, fa: int, interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST):
+    """One stream block of the fused trainable-dual backward, accumulated
+    in place into (out, acc) via input_output_aliases.  ``win`` holds
+    GLOBAL window ids."""
+    num_chunks = win.shape[0]
+    f2 = ge.shape[1]
+    sub_per_chunk = local_rows.shape[0] // num_chunks
+    chunk = sub_per_chunk * SUB
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((sub_per_chunk, SUB), lambda i, win: (i, 0)),
+            pl.BlockSpec((chunk, f2), lambda i, win: (i, 0)),
+            pl.BlockSpec((window, f2), lambda i, win: (win[i], 0)),
+            pl.BlockSpec((window, f2), lambda i, win: (win[i], 0)),
+            pl.BlockSpec((1, f2), lambda i, win: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((window, f2), lambda i, win: (win[i], 0)),
+            pl.BlockSpec((1, f2), lambda i, win: (0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_dual_bwd_kernel_accum, window=window, fa=fa,
+                          precision=precision),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(out.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, f2), jnp.float32),
+        ],
+        input_output_aliases={8: 0, 9: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * num_chunks * chunk * window * f2,
+            bytes_accessed=2 * ge.size * ge.dtype.itemsize
+                           + num_chunks * window * f2 * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win, local_rows, va, vb, wa, wb, ge, x_pad, out, acc)
+
+
+def streamed_dual_scatter_sddmm(stream: StreamPlan, col_blocks, make_terms,
+                                g, x: jnp.ndarray, fa: int):
+    """Streamed fused trainable-dual backward (see dual_scatter_sddmm).
+
+    lax.scan over the stream's blocks; ``make_terms(ge_block, i)`` maps the
+    gathered cotangent block ``g[col_blocks[i]]`` to
+    ``(ge, va, vb, wa, wb)`` — the per-edge message cotangent, operator
+    values, and d(value)/dparam weights for block ``i``, all in block plan
+    order ([E_blk] / [E_blk, 2F]).  Returns (dx [num_rows, 2F],
+    partials [2F]); both accumulate in place across blocks through the
+    aliased pallas outputs, so peak per-edge memory stays one block.
+    """
+    from ..spmm import get_matmul_precision
+
+    if stream.hot_blocks:
+        raise ValueError("streamed_dual_scatter_sddmm does not support "
+                         "col-split streams (templates are built unsplit)")
+    window = stream.window
+    interpret = jax.default_backend() != "tpu"
+    s = stream.win.shape[0]
+    f2 = g.shape[1]
+    nwin = stream.num_windows * window
+    x_pad = jnp.pad(x, ((0, nwin - x.shape[0]), (0, 0)))
+    precision = get_matmul_precision()
+
+    def body(carry, blk):
+        out, acc = carry
+        i, win, lr, col = blk
+        ge, va, vb, wa, wb = make_terms(g[col], i)
+        if ge.dtype not in (jnp.float32, jnp.bfloat16):
+            ge = ge.astype(jnp.float32)
+        out, acc = _dual_bwd_accum(
+            win, lr,
+            va.reshape(-1, SUB).astype(jnp.float32),
+            vb.reshape(-1, SUB).astype(jnp.float32),
+            wa.reshape(-1, SUB).astype(jnp.float32),
+            wb.reshape(-1, SUB).astype(jnp.float32),
+            ge, x_pad, out, acc, window=window, fa=fa,
+            interpret=interpret,
+            precision=_kernel_precision(ge.dtype, precision))
+        return (out, acc), None
+
+    out = jnp.zeros((nwin, f2), jnp.float32)
+    acc = jnp.zeros((1, f2), jnp.float32)
+    (out, acc), _ = jax.lax.scan(
+        body, (out, acc),
+        (jnp.arange(s), stream.win, stream.local_rows, col_blocks))
+    mask = jnp.repeat(stream.visited, window)[: stream.num_rows]
+    return jnp.where(mask[:, None], out[: stream.num_rows], 0.0), acc[0]
+
+
 # Plans whose PADDED edge count (the flat plan layout, chunk padding
 # included — what actually gets gathered and scattered) exceeds this
 # execute in streamed blocks: one [E, f<=128] f32 message array costs

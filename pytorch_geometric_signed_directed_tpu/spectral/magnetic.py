@@ -459,7 +459,9 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
 
 @jax.custom_vjp
 def template_dual_apply(tmpl: MagneticTemplate, q, x: jnp.ndarray):
-    """[L_re x_a | L_im x_b] for a traced phase q on a flat mxu template.
+    """[L_re x_a | L_im x_b] for a traced phase q on an mxu template
+    (flat or streamed — giant graphs train q through the same fused
+    backward, one stream block at a time).
 
     The hot path for trainable-q MagNet/MSGNN (reference rebuilds the
     Laplacian on CPU each forward, MagNetConv.py:141-183).  Its custom
@@ -491,10 +493,34 @@ def _tda_bwd(res, g):
 
     tmpl, q, x = res
     tt = tmpl.transposed
-    if tmpl.mode != "mxu" or tmpl.plan is None or tt is None:
-        raise ValueError("template_dual_apply backward needs a flat mxu "
-                         "template with a transpose (streamed giant "
-                         "graphs keep q frozen)")
+    if tmpl.mode != "mxu" or tt is None:
+        raise ValueError("template_dual_apply backward needs an mxu "
+                         "template with a transpose")
+    if tmpl.plan is None:
+        # streamed (giant-graph) template: same fused scatter+SDDMM, one
+        # block at a time through the aliased accumulate kernel
+        from ..ops.pallas.scatter_mxu import streamed_dual_scatter_sddmm
+        from ..ops.spmm import get_message_dtype
+
+        mdt = get_message_dtype() or g.dtype
+        two_pi_q = 2.0 * jnp.pi * q
+        fa = x.shape[1] // 2
+
+        def make_terms(ge, i):
+            a, th = tt.a_norm[i], tt.theta[i]
+            ang = two_pi_q * th
+            scale = 2.0 * jnp.pi * th * a
+            return (ge, -a * jnp.cos(ang), a * jnp.sin(ang),
+                    scale * jnp.sin(ang), scale * jnp.cos(ang))
+
+        dx, partials = streamed_dual_scatter_sddmm(
+            tt.stream, tt.col, make_terms, g.astype(mdt), x, fa)
+        dq = partials.sum().astype(jnp.asarray(q).dtype)
+        zero = jax.tree.map(
+            lambda p: (jnp.zeros_like(p)
+                       if jnp.issubdtype(p.dtype, jnp.floating)
+                       else np.zeros(p.shape, jax.dtypes.float0)), tmpl)
+        return zero, dq, dx.astype(g.dtype)
     if tmpl.plan.hot_chunks or tt.plan.hot_chunks:
         # templates are built unsplit today; guard the invariant the
         # fused kernel relies on (no compact col remap, one window

@@ -425,3 +425,45 @@ class TestMxuTemplate:
              if "'q'" in str(k)}[0][1][0]) if False else
             params["params"]["MagNetConv_0"]["q"][0])
         assert 0.0 <= q_after <= 0.25
+
+    def test_template_dual_apply_streamed(self):
+        """Streamed (giant-graph) trainable-q: the blocked fused backward
+        matches the flat plan's forward, dx, and dq exactly."""
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+            scatter_mxu)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_dual_apply)
+
+        n = 600
+        ei, w = self._graph(n, 5000, seed=21)
+        tmpl_flat = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        saved = scatter_mxu.STREAM_THRESHOLD_EDGES
+        scatter_mxu.STREAM_THRESHOLD_EDGES = 1024
+        try:
+            tmpl_s = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        finally:
+            scatter_mxu.STREAM_THRESHOLD_EDGES = saved
+        assert tmpl_s.stream is not None and tmpl_s.transposed.stream \
+            is not None
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+        q0 = 0.17
+
+        def make(t):
+            return lambda q, x: (template_dual_apply(t, q, x) * g_out).sum()
+
+        f_flat, f_s = make(tmpl_flat), make(tmpl_s)
+        np.testing.assert_allclose(float(f_s(q0, x)), float(f_flat(q0, x)),
+                                   rtol=1e-5)
+        dq_f, dx_f = jax.grad(f_flat, argnums=(0, 1))(q0, x)
+        dq_s, dx_s = jax.jit(jax.grad(f_s, argnums=(0, 1)))(q0, x)
+        np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_f),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(dq_s), float(dq_f),
+                                   rtol=1e-3, atol=1e-5)
+        eps = 1e-3
+        fd = (float(f_s(q0 + eps, x)) - float(f_s(q0 - eps, x))) / (2 * eps)
+        assert abs(float(dq_s) - fd) / (abs(fd) + 1e-6) < 2e-2, (dq_s, fd)
