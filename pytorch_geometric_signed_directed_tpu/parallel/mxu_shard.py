@@ -69,8 +69,11 @@ class ShardedMXU:
     axis: str = struct.field(pytree_node=False)
     transposed: object = None  # Optional[ShardedMXU]
     # col-split layouts (see ops.pallas.scatter_mxu.col_degree_split):
-    # the first hot_chunks chunks of EVERY device gather from the
-    # replicated compact table x[hot_ids]; 0/None = unsplit
+    # hot_ids is [D, H] — device d's leading hot chunks gather from ITS
+    # compact table x[hot_ids[d]] (per-device column-degree profiles, up
+    # to D x the coverage of one shared table); rows of devices whose
+    # subset failed the coverage gate are dummies (their hot sections are
+    # empty).  0/None = unsplit.
     hot_ids: Optional[jnp.ndarray] = None
     hot_chunks: int = struct.field(pytree_node=False, default=0)
 
@@ -90,16 +93,42 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
         t = build_sharded_mxu(col, row, val, num_cols, num_rows, mesh, axis,
                               val_b=val_b, with_transpose=False)
 
-    # global col split shared by every device (the gather source is the
-    # replicated activation, so one compact hot table serves all)
-    split = col_degree_split(col, num_cols)
-    grp_all, hot_ids = None, None
-    if split is not None:
-        grp_all, col, hot_ids = split
-
     rows_per = -(-max(num_rows, 1) // n_dev)
     owner = row // rows_per if len(row) else row
     local = row - owner * rows_per
+
+    # PER-DEVICE col split: each shard's edge subset has its own column
+    # degree profile, so a per-device compact hot table covers up to
+    # n_dev x more of each device's gathers than one global table would
+    # (the gather source is the replicated activation either way, so a
+    # device-local x[hot_ids_d] costs the same one cheap gather).
+    # Devices whose subset fails the coverage gate run all-cold with a
+    # dummy table row — sections still align via hc_max below.
+    grp_all, col_g = None, col
+    hot_tables = []
+    masks = [owner == d for d in range(n_dev)]
+    for d in range(n_dev):
+        split = col_degree_split(col[masks[d]], num_cols)
+        if split is None:
+            hot_tables.append(None)
+            continue
+        grp_d, col_d, hot_d = split
+        if grp_all is None:
+            grp_all = np.ones(len(col), np.int8)   # default: cold
+            col_g = col.copy()
+        grp_all[masks[d]] = grp_d
+        col_g[masks[d]] = col_d
+        hot_tables.append(hot_d)
+    if any(h is not None for h in hot_tables):
+        h_rows = max(len(h) for h in hot_tables if h is not None)
+        hot_ids = np.zeros((n_dev, h_rows), np.int32)
+        for d, h in enumerate(hot_tables):
+            if h is not None:
+                hot_ids[d, : len(h)] = h
+        col = col_g
+    else:
+        hot_ids = None
+
     # one geometry for every device so the stacked plans share one kernel
     o = np.argsort(local, kind="stable")
     window, chunk = _pick_geometry(
@@ -108,7 +137,7 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
 
     hs, perms = [], []
     for d in range(n_dev):
-        m = owner == d
+        m = masks[d]
         h = _build_plan_host(local[m], rows_per, chunk=chunk, window=window,
                              group=None if grp_all is None else grp_all[m])
         hs.append(h)
@@ -175,7 +204,7 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
         num_windows=num_windows, window=window, n_devices=n_dev,
         mesh=mesh, axis=axis, transposed=t,
         hot_ids=None if hot_ids is None else put(jnp.asarray(hot_ids),
-                                                 P(None)),
+                                                 P(axis, None)),
         hot_chunks=hc_max,
     )
 
@@ -202,7 +231,7 @@ def _local_apply(S: ShardedMXU, x, make_msgs):
     if has_b:
         in_specs = in_specs + (P(axis, None),)
     if split:
-        in_specs = in_specs + (P(None),)
+        in_specs = in_specs + (P(axis, None),)   # per-device hot tables
     in_specs = in_specs + (P(None, None),)
 
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -212,7 +241,7 @@ def _local_apply(S: ShardedMXU, x, make_msgs):
     def run(*args):
         args = list(args)
         xx = args.pop()
-        hot_ids = args.pop() if split else None
+        hot_ids = args.pop()[0] if split else None   # this device's table
         vb = args.pop()[0] if has_b else None
         win, lr, visited, col, val = (a[0] for a in args)
         if not split:

@@ -396,3 +396,57 @@ def test_sharded_dual_from_col_split_operator(monkeypatch):
                 lambda v: (dual_spmm_stacked(Ds, v) ** 2).sum()))(xcat)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_mxu_mixed_device_col_split(monkeypatch):
+    """Per-device hot tables: devices whose row range sees hub-heavy
+    columns split, devices with uniform columns fail the coverage gate —
+    the mixed stacked layout must still match the single-chip result."""
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        Propagator, make_propagator, spmm_coo)
+    from pytorch_geometric_signed_directed_tpu.ops.coalesce import (
+        coalesce_edges)
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+        scatter_mxu as sm)
+    from pytorch_geometric_signed_directed_tpu.parallel.mxu_shard import (
+        build_sharded_mxu, sharded_mxu_spmm)
+
+    monkeypatch.setattr(sm, "COL_SPLIT_MIN_COLS", 100)
+    monkeypatch.setattr(sm, "GATHER_FAST_ROWS", 32)
+    monkeypatch.setattr(sm, "COL_SPLIT_MIN_COVERAGE", 0.6)
+
+    rng = np.random.default_rng(11)
+    n = 512
+    rows_per = n // 8
+    # device 0's rows: 90% of edges hit 4 hub columns (splits);
+    # devices 1-7: uniform columns (fails the 0.6 coverage gate at 32
+    # hot rows out of 512)
+    r0 = rng.integers(0, rows_per, 3000)
+    c0 = np.where(rng.random(3000) < 0.9, rng.integers(0, 4, 3000),
+                  rng.integers(0, n, 3000))
+    r1 = rng.integers(rows_per, n, 6000)
+    c1 = rng.integers(0, n, 6000)
+    row, col, val = coalesce_edges(
+        np.concatenate([r0, r1]), np.concatenate([c0, c1]),
+        rng.standard_normal(9000).astype(np.float32), num_cols=n)
+
+    mesh = make_mesh(8)
+    S = build_sharded_mxu(row, col, val, n, n, mesh)
+    assert S.hot_ids is not None and S.hot_ids.shape[0] == 8
+    assert S.hot_chunks > 0
+
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    ref = spmm_coo(make_propagator(row, col, val, n, mode="segment").coo, x)
+    with mesh:
+        got = jax.jit(sharded_mxu_spmm)(
+            Propagator(coo=None, dense=None, bsr=None, mxu=S,
+                       mode="mxu_sharded").mxu, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    with mesh:
+        g = jax.jit(jax.grad(
+            lambda v: (sharded_mxu_spmm(S, v) ** 2).sum()))(x)
+    g_ref = jax.grad(lambda v: (spmm_coo(
+        make_propagator(row, col, val, n, mode="segment").coo, v) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)
