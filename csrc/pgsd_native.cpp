@@ -14,6 +14,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
@@ -154,45 +155,142 @@ int64_t pgsd_coalesce(int64_t* rows, int64_t* cols, float* weights,
 // digits is stable, O(passes * n), and bandwidth-bound: ~20x numpy on
 // this image's cores.  Passes stop at the key's actual bit width.
 
-void pgsd_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out) {
-    if (n <= 0) return;
-    uint64_t max_key = 0;
-    for (int64_t i = 0; i < n; ++i)
-        if (keys[i] > max_key) max_key = keys[i];
+namespace {
 
-    constexpr int BITS = 11;
-    constexpr int BUCKETS = 1 << BITS;
-    std::vector<uint64_t> ka(keys, keys + n), kb(n);
-    std::vector<int64_t> pa(n), pb(n);
-    for (int64_t i = 0; i < n; ++i) pa[i] = i;
+constexpr int RADIX_BITS = 11;
+constexpr int RADIX_BUCKETS = 1 << RADIX_BITS;
 
-    std::vector<int64_t> hist(BUCKETS);
-    int shift = 0;
-    bool flip = false;
-    while (shift == 0 || (shift < 64 && (max_key >> shift) != 0)) {
-        uint64_t* src_k = flip ? kb.data() : ka.data();
-        uint64_t* dst_k = flip ? ka.data() : kb.data();
-        int64_t* src_p = flip ? pb.data() : pa.data();
-        int64_t* dst_p = flip ? pa.data() : pb.data();
-        std::fill(hist.begin(), hist.end(), 0);
-        for (int64_t i = 0; i < n; ++i)
-            ++hist[(src_k[i] >> shift) & (BUCKETS - 1)];
-        int64_t acc = 0;
-        for (int b = 0; b < BUCKETS; ++b) {
-            int64_t h = hist[b];
-            hist[b] = acc;
+// One stable LSD pass over [0, n), parallelized by contiguous thread
+// ranges: per-thread digit histograms, then global offsets laid out
+// digit-major / thread-minor (which preserves stability), then each
+// thread scatters its own range in order.
+void radix_pass_mt(const uint64_t* src_k, const int64_t* src_p,
+                   uint64_t* dst_k, int64_t* dst_p, int64_t n, int shift,
+                   int nthreads) {
+    const int T = nthreads;
+    std::vector<std::vector<int64_t>> hist(T,
+        std::vector<int64_t>(RADIX_BUCKETS, 0));
+    auto range = [&](int t) {
+        int64_t lo = n * t / T, hi = n * (t + 1) / T;
+        return std::pair<int64_t, int64_t>(lo, hi);
+    };
+    auto count = [&](int t) {
+        auto [lo, hi] = range(t);
+        auto& h = hist[t];
+        for (int64_t i = lo; i < hi; ++i)
+            ++h[(src_k[i] >> shift) & (RADIX_BUCKETS - 1)];
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 1; t < T; ++t) ts.emplace_back(count, t);
+        count(0);
+        for (auto& th : ts) th.join();
+    }
+    int64_t acc = 0;
+    for (int b = 0; b < RADIX_BUCKETS; ++b)
+        for (int t = 0; t < T; ++t) {
+            int64_t h = hist[t][b];
+            hist[t][b] = acc;
             acc += h;
         }
-        for (int64_t i = 0; i < n; ++i) {
-            int64_t d = hist[(src_k[i] >> shift) & (BUCKETS - 1)]++;
+    auto scatter = [&](int t) {
+        auto [lo, hi] = range(t);
+        auto& h = hist[t];
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t d = h[(src_k[i] >> shift) & (RADIX_BUCKETS - 1)]++;
             dst_k[d] = src_k[i];
             dst_p[d] = src_p[i];
         }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < T; ++t) ts.emplace_back(scatter, t);
+    scatter(0);
+    for (auto& th : ts) th.join();
+}
+
+// Stable radix argsort; also leaves the sorted keys in ka/kb.  Returns
+// which buffer holds the result (true -> b).
+bool radix_argsort(const uint64_t* keys, int64_t n,
+                   std::vector<uint64_t>& ka, std::vector<uint64_t>& kb,
+                   std::vector<int64_t>& pa, std::vector<int64_t>& pb) {
+    uint64_t max_key = 0;
+    for (int64_t i = 0; i < n; ++i)
+        if (keys[i] > max_key) max_key = keys[i];
+    ka.assign(keys, keys + n);
+    kb.resize(n);
+    pa.resize(n);
+    pb.resize(n);
+    for (int64_t i = 0; i < n; ++i) pa[i] = i;
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (n >= (1 << 21) && hw > 1) ? (int)std::min(hw, 4u) : 1;
+    int shift = 0;
+    bool flip = false;
+    while (shift == 0 || (shift < 64 && (max_key >> shift) != 0)) {
+        const uint64_t* src_k = flip ? kb.data() : ka.data();
+        uint64_t* dst_k = flip ? ka.data() : kb.data();
+        const int64_t* src_p = flip ? pb.data() : pa.data();
+        int64_t* dst_p = flip ? pa.data() : pb.data();
+        radix_pass_mt(src_k, src_p, dst_k, dst_p, n, shift, T);
         flip = !flip;
-        shift += BITS;
+        shift += RADIX_BITS;
     }
+    return flip;
+}
+
+}  // namespace
+
+void pgsd_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out) {
+    if (n <= 0) return;
+    std::vector<uint64_t> ka, kb;
+    std::vector<int64_t> pa, pb;
+    bool flip = radix_argsort(keys, n, ka, kb, pa, pb);
     const int64_t* res = flip ? pb.data() : pa.data();
     std::memcpy(perm_out, res, n * sizeof(int64_t));
+}
+
+// ---------- fused multi-value coalesce ----------
+//
+// Sort-by-key + sum-duplicates over NV value arrays in one native call:
+// the numpy pipeline (argsort -> per-value fancy gather -> reduceat)
+// walks the edge list 1 + 2*NV times through int64 temporaries; this
+// does one threaded radix argsort and a single accumulate pass.  keys
+// are modified in place to the m unique sorted keys; values ([nv, n]
+// row-major float64 — double accumulation matches the numpy pipeline's
+// precision for Laplacian weights, original row stride n) are
+// overwritten in their leading m entries with the per-run sums.
+// Returns m.
+
+int64_t pgsd_coalesce_fused(uint64_t* keys, double* values, int64_t n,
+                            int64_t nv) {
+    if (n <= 0) return 0;
+    std::vector<uint64_t> ka, kb;
+    std::vector<int64_t> pa, pb;
+    bool flip = radix_argsort(keys, n, ka, kb, pa, pb);
+    const uint64_t* ks = flip ? kb.data() : ka.data();
+    const int64_t* perm = flip ? pb.data() : pa.data();
+
+    std::vector<double> sums((size_t)nv * n);
+    int64_t m = -1;
+    for (int64_t i = 0; i < n; ++i) {
+        const bool fresh = (i == 0 || ks[i] != ks[i - 1]);
+        if (fresh) {
+            ++m;
+            keys[m] = ks[i];
+        }
+        const int64_t src = perm[i];
+        for (int64_t v = 0; v < nv; ++v) {
+            double x = values[v * n + src];
+            if (fresh)
+                sums[v * n + m] = x;
+            else
+                sums[v * n + m] += x;
+        }
+    }
+    ++m;
+    for (int64_t v = 0; v < nv; ++v)
+        std::memcpy(values + v * n, sums.data() + v * n,
+                    m * sizeof(double));
+    return m;
 }
 
 }  // extern "C"

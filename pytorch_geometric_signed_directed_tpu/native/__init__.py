@@ -70,6 +70,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.pgsd_coalesce_fused.restype = ctypes.c_int64
+    lib.pgsd_coalesce_fused.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
     _lib = lib
     return _lib
 
@@ -118,6 +124,25 @@ def stable_argsort(keys: np.ndarray) -> np.ndarray:
     lib.pgsd_argsort_u64(np.ascontiguousarray(keys, np.uint64),
                          len(keys), perm)
     return perm
+
+
+def coalesce_multi(keys: np.ndarray, *values) -> Optional[tuple]:
+    """Sorted unique keys + per-run sums of each value array, in one
+    native pass (threaded radix argsort + fused accumulate — the numpy
+    pipeline walks the edge list 1 + 2*len(values) times).  Values are
+    accumulated in float64.  Returns (unique_keys int64, *sums float64)
+    or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None or len(keys) == 0:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64).copy()
+    n = len(keys)
+    vals = np.ascontiguousarray(
+        np.stack([np.asarray(v, np.float64) for v in values])
+        if values else np.zeros((0, n)))
+    m = lib.pgsd_coalesce_fused(keys, vals, n, len(values))
+    return (keys[:m].astype(np.int64),
+            *(vals[v, :m] for v in range(len(values))))
 
 
 def coalesce(rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,

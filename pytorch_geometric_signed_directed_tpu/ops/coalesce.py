@@ -8,6 +8,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# Below this many entries the numpy argsort+reduceat pipeline wins (the
+# native path pays a [nv, n] float64 stack copy + ctypes crossing).
+FUSED_COALESCE_MIN = 1 << 21
+
 
 def coalesce_edges(row, col, *values, num_cols: int,
                    ) -> Tuple[np.ndarray, ...]:
@@ -16,12 +20,25 @@ def coalesce_edges(row, col, *values, num_cols: int,
 
     One argsort + add.reduceat over contiguous duplicate runs — an order
     of magnitude faster than np.unique(return_inverse) + np.add.at at
-    WikiTalk scale (~40M entries)."""
-    from ..native import stable_argsort
+    WikiTalk scale (~40M entries).  Giant inputs route to the fused
+    native path (threaded radix sort + single accumulate pass,
+    native.coalesce_multi) when the toolchain is available."""
+    from ..native import coalesce_multi, stable_argsort
 
     row = np.asarray(row, np.int64).ravel()
     col = np.asarray(col, np.int64).ravel()
     key = row * np.int64(num_cols) + col
+    if len(key) >= FUSED_COALESCE_MIN:
+        fused = coalesce_multi(key, *values)
+        if fused is not None:
+            uniq, *sums = fused
+            out_vals = []
+            for v, s in zip(values, sums):
+                dt = (np.asarray(v).dtype
+                      if np.issubdtype(np.asarray(v).dtype, np.floating)
+                      else np.float64)
+                out_vals.append(s.astype(dt, copy=False))
+            return (uniq // num_cols, uniq % num_cols, *out_vals)
     order = stable_argsort(key)
     ks = key[order]
     starts = np.concatenate(

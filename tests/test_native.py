@@ -74,3 +74,45 @@ def test_native_stable_argsort_matches_numpy():
     keys = (rng.integers(0, 7, 2_000_000) * (1 << 33)).astype(np.int64)
     got = native.stable_argsort(keys)
     np.testing.assert_array_equal(got, np.argsort(keys, kind="stable"))
+
+
+def test_coalesce_multi_matches_numpy(lib_ok):
+    rng = np.random.default_rng(5)
+    n = 300_000
+    keys = rng.integers(0, 40_000, n)
+    v1 = rng.standard_normal(n)
+    v2 = rng.random(n).astype(np.float32)
+    out = native.coalesce_multi(keys, v1, v2)
+    assert out is not None
+    uniq, s1, s2 = out
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
+    np.testing.assert_array_equal(uniq, ks[starts])
+    np.testing.assert_allclose(s1, np.add.reduceat(v1[order], starts),
+                               rtol=1e-9)
+    np.testing.assert_allclose(
+        s2, np.add.reduceat(v2[order].astype(np.float64), starts),
+        rtol=1e-6)
+
+
+def test_coalesce_edges_fused_branch(lib_ok, monkeypatch):
+    """coalesce_edges' fused native route returns the same (row, col,
+    sums) as its numpy pipeline."""
+    from pytorch_geometric_signed_directed_tpu.ops import coalesce as co
+
+    rng = np.random.default_rng(8)
+    n = 50_000
+    row = rng.integers(0, 300, n)
+    col = rng.integers(0, 300, n)
+    w1 = rng.standard_normal(n)
+    w2 = rng.standard_normal(n).astype(np.float32)
+    ref = co.coalesce_edges(row, col, w1, w2, num_cols=300)
+    monkeypatch.setattr(co, "FUSED_COALESCE_MIN", 1)
+    got = co.coalesce_edges(row, col, w1, w2, num_cols=300)
+    for a, b in zip(got, ref):
+        assert a.dtype == b.dtype
+        # the native path accumulates float32 inputs in float64 and
+        # rounds once (strictly more accurate than numpy's f32 reduceat),
+        # so f32 sums with heavy cancellation differ at f32 ulp scale
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
