@@ -97,7 +97,8 @@ class MagNetConv(nn.Module):
         if self.trainable_q:
             q = self.param("q", lambda k: jnp.full((1,), self.q))
             q = jnp.clip(q, 0.0, 0.25)  # reference clamps each forward (:141-142)
-            if isinstance(lap, MagneticTemplate) and lap.mode == "mxu":
+            if isinstance(lap, MagneticTemplate) and \
+                    lap.mode in ("mxu", "mxu_sharded"):
                 # flagship tier for trainable q: frozen scatter plan, only
                 # the per-edge values depend on the traced q.  The fused
                 # custom-VJP apply computes dq as an in-kernel SDDMM

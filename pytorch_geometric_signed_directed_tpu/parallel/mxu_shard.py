@@ -80,8 +80,14 @@ class ShardedMXU:
 
 def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
                       mesh: Mesh, axis: str = "graph",
-                      val_b=None, with_transpose: bool = True) -> ShardedMXU:
-    """Host-side builder from valid COO arrays (numpy)."""
+                      val_b=None, with_transpose: bool = True,
+                      col_split: bool = True) -> ShardedMXU:
+    """Host-side builder from valid COO arrays (numpy).
+
+    ``col_split=False`` disables the per-device hot-column tables —
+    required for trainable-value layouts (sharded templates), whose
+    fused backward kernel runs on unsplit plans.
+    """
     n_dev = mesh.shape[axis]
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
@@ -91,7 +97,8 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
     t = None
     if with_transpose:
         t = build_sharded_mxu(col, row, val, num_cols, num_rows, mesh, axis,
-                              val_b=val_b, with_transpose=False)
+                              val_b=val_b, with_transpose=False,
+                              col_split=col_split)
 
     rows_per = -(-max(num_rows, 1) // n_dev)
     owner = row // rows_per if len(row) else row
@@ -108,7 +115,8 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
     hot_tables = []
     masks = [owner == d for d in range(n_dev)]
     for d in range(n_dev):
-        split = col_degree_split(col[masks[d]], num_cols)
+        split = (col_degree_split(col[masks[d]], num_cols)
+                 if col_split else None)
         if split is None:
             hot_tables.append(None)
             continue
@@ -375,21 +383,182 @@ def _coo_from_mxu(m) -> tuple:
             np.asarray(m.val).reshape(-1)[valid])
 
 
-def _coo_from_dual(d) -> tuple:
-    """(row, col, val_a, val_b) of the valid edges of an mxu DualPropagator."""
-    if d.plan is not None:
-        gr = np.asarray(d.plan.global_rows)
-        valid = np.flatnonzero(gr < d.plan.num_rows)
-        return (gr[valid], _unsplit_cols(d, valid),
-                np.asarray(d.val_a).reshape(-1)[valid],
-                np.asarray(d.val_b).reshape(-1)[valid])
-    st = d.stream
+def _planned_valid_edges(obj) -> tuple:
+    """(rows, valid_idx) of the valid edges of a plan/stream-holding
+    layout (MXUCoo, mxu DualPropagator, or mxu MagneticTemplate)."""
+    if obj.plan is not None:
+        gr = np.asarray(obj.plan.global_rows)
+        valid = np.flatnonzero(gr < obj.plan.num_rows)
+        return gr[valid], valid
+    st = obj.stream
     window = st.window
     lr = np.asarray(st.local_rows).reshape(st.win.shape[0], -1)
     win = np.repeat(np.asarray(st.win),
                     lr.shape[1] // st.win.shape[1], axis=1)
     valid = np.flatnonzero((lr < window).reshape(-1))
-    rows = (win * window + lr).reshape(-1)[valid]
+    return (win * window + lr).reshape(-1)[valid], valid
+
+
+def _coo_from_dual(d) -> tuple:
+    """(row, col, val_a, val_b) of the valid edges of an mxu DualPropagator."""
+    rows, valid = _planned_valid_edges(d)
     return (rows, _unsplit_cols(d, valid),
             np.asarray(d.val_a).reshape(-1)[valid],
             np.asarray(d.val_b).reshape(-1)[valid])
+
+
+# ---------------------------------------------------------------------------
+# Sharded trainable-q templates: per-device plans whose per-edge operator
+# values are rebuilt from (a_norm, theta) inside shard_map for a traced
+# phase q — multi-chip trainable q at the same one-gather cost as the
+# frozen sharded dual.  The backward is ONE shard_map over the transposed
+# partition running the fused scatter+SDDMM kernel per device
+# (ops.pallas.scatter_mxu._dual_bwd_matmul): dx comes back through a
+# tiled all-gather, dq through a psum of the per-device SDDMM partials.
+
+def build_sharded_template(tmpl, mesh: Mesh, axis: str = "graph"):
+    """Re-partition a built mxu MagneticTemplate across ``axis``.
+
+    Returns a MagneticTemplate with mode="mxu_sharded" whose ``plan``
+    holds a ShardedMXU carrying (a_norm, theta) in its (val, val_b)
+    slots.  Apply with spectral.magnetic.template_dual_apply.
+    """
+    from ..spectral.magnetic import MagneticTemplate
+
+    rows, valid = _planned_valid_edges(tmpl)
+    col = np.asarray(tmpl.col).reshape(-1)[valid]
+    a = np.asarray(tmpl.a_norm).reshape(-1)[valid]
+    th = np.asarray(tmpl.theta).reshape(-1)[valid]
+    S = build_sharded_mxu(rows, col, a, tmpl.num_nodes, tmpl.num_nodes,
+                          mesh, axis, val_b=th, col_split=False)
+    return MagneticTemplate(a_norm=None, theta=None, row=None, col=None,
+                            num_nodes=tmpl.num_nodes, mode="mxu_sharded",
+                            plan=S)
+
+
+def _template_terms(a, th, q):
+    """Per-edge operator values and d(value)/dq for a traced phase q.
+
+    Same formulas as spectral.magnetic._template_values / _tda_bwd
+    (incl. the conv's baked transpose negation of the imaginary part);
+    cos is even and sin odd in theta, so they hold unchanged in the
+    transposed plan's edge order.
+    """
+    ang = (2.0 * jnp.pi) * q * th
+    scale = (2.0 * jnp.pi) * th * a
+    va = -a * jnp.cos(ang)
+    vb = a * jnp.sin(ang)
+    wa = scale * jnp.sin(ang)
+    wb = scale * jnp.cos(ang)
+    return va, vb, wa, wb
+
+
+def _sharded_template_forward(S: ShardedMXU, q, x):
+    from ..ops.pallas.scatter_mxu import _kernel_precision, _scatter_matmul
+    from ..ops.spmm import get_matmul_precision, get_message_dtype
+
+    axis, window = S.axis, S.window
+    rows_per, nw = S.rows_per_device, S.num_windows
+    interpret = jax.default_backend() != "tpu"
+    prec = get_matmul_precision()
+    mdt = get_message_dtype() or x.dtype
+    fa = x.shape[1] // 2
+    lane = jnp.arange(x.shape[1]) < fa
+
+    @functools.partial(
+        shard_map, mesh=S.mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None), P(),
+                  P(None, None)),
+        out_specs=P(None, None), check_vma=False)
+    def run(win, lr, visited, col, a, th, q, xx):
+        win, lr, visited = win[0], lr[0], visited[0]
+        col, a, th = col[0], a[0], th[0]
+        va, vb, _, _ = _template_terms(a, th, q[0])
+        msgs = (xx.astype(mdt)[col]
+                * jnp.where(lane[None, :], va[:, None],
+                            vb[:, None])).astype(mdt)
+        out = _scatter_matmul(
+            win, lr, msgs, nw, window=window, interpret=interpret,
+            precision=_kernel_precision(msgs.dtype, prec))
+        mask = jnp.repeat(visited, window)[:rows_per]
+        out = jnp.where(mask[:, None], out[:rows_per], 0.0)
+        return jax.lax.all_gather(out, axis, axis=0, tiled=True)
+
+    out = run(S.win, S.local_rows, S.visited, S.col, S.val, S.val_b,
+              jnp.asarray(q, jnp.float32)[None], x)
+    return out[: S.num_rows].astype(x.dtype)
+
+
+@jax.custom_vjp
+def sharded_template_dual_apply(S: ShardedMXU, q, x: jnp.ndarray):
+    """[L_re x_a | L_im x_b] for a traced phase q across the mesh."""
+    return _sharded_template_forward(S, q, x)
+
+
+def _stda_fwd(S, q, x):
+    return _sharded_template_forward(S, q, x), (S, q, x)
+
+
+def _stda_bwd(res, g):
+    from ..ops.pallas.scatter_mxu import (
+        _dual_bwd_matmul, _kernel_precision)
+    from ..ops.spmm import get_matmul_precision, get_message_dtype
+
+    S, q, x = res
+    T = S.transposed
+    if T is None:
+        raise ValueError("sharded template built without a transpose")
+    axis, window = T.axis, T.window
+    rows_per, nw = T.rows_per_device, T.num_windows
+    interpret = jax.default_backend() != "tpu"
+    prec = get_matmul_precision()
+    mdt = get_message_dtype() or g.dtype
+    fa = x.shape[1] // 2
+    f2 = x.shape[1]
+    n_dev = T.n_devices
+    # x rows owned by transpose-device d: [d*rows_per, (d+1)*rows_per)
+    x_pad = jnp.pad(x, ((0, n_dev * rows_per - x.shape[0]), (0, 0)))
+
+    @functools.partial(
+        shard_map, mesh=T.mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None), P(),
+                  P(None, None), P(None, None)),
+        out_specs=(P(None, None), P()), check_vma=False)
+    def run(win, lr, visited, col, a, th, q, gg, xp):
+        win, lr, visited = win[0], lr[0], visited[0]
+        col, a, th = col[0], a[0], th[0]
+        va, vb, wa, wb = _template_terms(a, th, q[0])
+        ge = gg.astype(mdt)[col]
+        d = jax.lax.axis_index(axis)
+        x_loc = jax.lax.dynamic_slice(xp, (d * rows_per, 0),
+                                      (rows_per, f2))
+        x_loc = jnp.pad(x_loc, ((0, nw * window - rows_per), (0, 0)))
+        SUBN = 128
+        out, acc = _dual_bwd_matmul(
+            win, lr,
+            va.reshape(-1, SUBN).astype(jnp.float32),
+            vb.reshape(-1, SUBN).astype(jnp.float32),
+            wa.reshape(-1, SUBN).astype(jnp.float32),
+            wb.reshape(-1, SUBN).astype(jnp.float32),
+            ge, x_loc, nw, window=window, fa=fa,
+            interpret=interpret,
+            precision=_kernel_precision(ge.dtype, prec))
+        mask = jnp.repeat(visited, window)[:rows_per]
+        out = jnp.where(mask[:, None], out[:rows_per, :f2], 0.0)
+        dx = jax.lax.all_gather(out, axis, axis=0, tiled=True)
+        dq = jax.lax.psum(jnp.sum(acc), axis)
+        return dx, dq
+
+    dx, dq = run(T.win, T.local_rows, T.visited, T.col, T.val, T.val_b,
+                 jnp.asarray(q, jnp.float32)[None], g, x_pad)
+    zero = jax.tree.map(
+        lambda p: (jnp.zeros_like(p)
+                   if jnp.issubdtype(p.dtype, jnp.floating)
+                   else np.zeros(p.shape, jax.dtypes.float0)), S)
+    return (zero, dq.astype(jnp.asarray(q).dtype),
+            dx[: T.num_rows].astype(g.dtype))
+
+
+sharded_template_dual_apply.defvjp(_stda_fwd, _stda_bwd)

@@ -145,6 +145,14 @@ def shard_magnet_laplacian(lap, mesh: Mesh, axis: str = "graph"):
                 a_norm=jax.device_put(lap.a_norm, s),
                 theta=jax.device_put(lap.theta, s),
                 row=None, col=None, num_nodes=lap.num_nodes, mode="dense")
+        if lap.mode == "mxu":
+            # trainable q across the mesh: per-device plans carrying
+            # (a_norm, theta); values rebuild in-shard for a traced q
+            from .mxu_shard import build_sharded_template
+
+            return build_sharded_template(lap, mesh, axis)
+        if lap.mode == "mxu_sharded":
+            return lap
         es = _edge_sharding(mesh, axis)
         return MagneticTemplate(
             a_norm=jax.device_put(lap.a_norm, es),

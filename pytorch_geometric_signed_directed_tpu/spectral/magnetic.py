@@ -457,8 +457,21 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
     )
 
 
-@jax.custom_vjp
 def template_dual_apply(tmpl: MagneticTemplate, q, x: jnp.ndarray):
+    """[L_re x_a | L_im x_b] for a traced phase q on an mxu template —
+    flat, streamed (giant graphs train q through the same fused backward
+    one stream block at a time), or sharded (mode="mxu_sharded", built by
+    parallel.mxu_shard.build_sharded_template: per-device plans under
+    shard_map, dq via a psum of per-device fused SDDMM partials)."""
+    if tmpl.mode == "mxu_sharded":
+        from ..parallel.mxu_shard import sharded_template_dual_apply
+
+        return sharded_template_dual_apply(tmpl.plan, q, x)
+    return _template_dual_apply_mxu(tmpl, q, x)
+
+
+@jax.custom_vjp
+def _template_dual_apply_mxu(tmpl: MagneticTemplate, q, x: jnp.ndarray):
     """[L_re x_a | L_im x_b] for a traced phase q on an mxu template
     (flat or streamed — giant graphs train q through the same fused
     backward, one stream block at a time).
@@ -484,7 +497,7 @@ def template_dual_apply(tmpl: MagneticTemplate, q, x: jnp.ndarray):
 
 
 def _tda_fwd(tmpl, q, x):
-    return template_dual_apply(tmpl, q, x), (tmpl, q, x)
+    return _template_dual_apply_mxu(tmpl, q, x), (tmpl, q, x)
 
 
 def _tda_bwd(res, g):
@@ -554,7 +567,7 @@ def _tda_bwd(res, g):
     return zero, dq, dx
 
 
-template_dual_apply.defvjp(_tda_fwd, _tda_bwd)
+_template_dual_apply_mxu.defvjp(_tda_fwd, _tda_bwd)
 
 
 def template_dual(tmpl: MagneticTemplate, q) -> DualPropagator:
