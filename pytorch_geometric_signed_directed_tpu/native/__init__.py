@@ -135,7 +135,13 @@ def coalesce_multi(keys: np.ndarray, *values) -> Optional[tuple]:
     lib = _load()
     if lib is None or len(keys) == 0:
         return None
-    keys = np.ascontiguousarray(keys, np.uint64).copy()
+    src = np.asarray(keys)
+    # the native call rewrites keys in place; copy only when the caller's
+    # array would otherwise be aliased (ascontiguousarray with a dtype
+    # change already allocates)
+    keys = np.ascontiguousarray(src, np.uint64)
+    if keys is src or keys.base is src:
+        keys = keys.copy()
     n = len(keys)
     vals = np.ascontiguousarray(
         np.stack([np.asarray(v, np.float64) for v in values])

@@ -454,40 +454,24 @@ def _template_terms(a, th, q):
 
 
 def _sharded_template_forward(S: ShardedMXU, q, x):
-    from ..ops.pallas.scatter_mxu import _kernel_precision, _scatter_matmul
-    from ..ops.spmm import get_matmul_precision, get_message_dtype
+    # same owner-computes body as the frozen sharded dual (_local_apply);
+    # only the per-edge values differ — rebuilt in-shard from the
+    # (a_norm, theta) stored in the (val, val_b) slots for the traced q,
+    # which the closure carries into the shard_map body (replicated).
+    from ..ops.spmm import get_message_dtype
 
-    axis, window = S.axis, S.window
-    rows_per, nw = S.rows_per_device, S.num_windows
-    interpret = jax.default_backend() != "tpu"
-    prec = get_matmul_precision()
     mdt = get_message_dtype() or x.dtype
     fa = x.shape[1] // 2
     lane = jnp.arange(x.shape[1]) < fa
+    qv = jnp.asarray(q, jnp.float32)
 
-    @functools.partial(
-        shard_map, mesh=S.mesh,
-        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
-                  P(axis, None), P(axis, None), P(axis, None), P(),
-                  P(None, None)),
-        out_specs=P(None, None), check_vma=False)
-    def run(win, lr, visited, col, a, th, q, xx):
-        win, lr, visited = win[0], lr[0], visited[0]
-        col, a, th = col[0], a[0], th[0]
-        va, vb, _, _ = _template_terms(a, th, q[0])
-        msgs = (xx.astype(mdt)[col]
+    def make_msgs(g, a, th):
+        va, vb, _, _ = _template_terms(a, th, qv)
+        return (g.astype(mdt)
                 * jnp.where(lane[None, :], va[:, None],
                             vb[:, None])).astype(mdt)
-        out = _scatter_matmul(
-            win, lr, msgs, nw, window=window, interpret=interpret,
-            precision=_kernel_precision(msgs.dtype, prec))
-        mask = jnp.repeat(visited, window)[:rows_per]
-        out = jnp.where(mask[:, None], out[:rows_per], 0.0)
-        return jax.lax.all_gather(out, axis, axis=0, tiled=True)
 
-    out = run(S.win, S.local_rows, S.visited, S.col, S.val, S.val_b,
-              jnp.asarray(q, jnp.float32)[None], x)
-    return out[: S.num_rows].astype(x.dtype)
+    return _local_apply(S, x, make_msgs).astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -535,13 +519,12 @@ def _stda_bwd(res, g):
         x_loc = jax.lax.dynamic_slice(xp, (d * rows_per, 0),
                                       (rows_per, f2))
         x_loc = jnp.pad(x_loc, ((0, nw * window - rows_per), (0, 0)))
-        SUBN = 128
         out, acc = _dual_bwd_matmul(
             win, lr,
-            va.reshape(-1, SUBN).astype(jnp.float32),
-            vb.reshape(-1, SUBN).astype(jnp.float32),
-            wa.reshape(-1, SUBN).astype(jnp.float32),
-            wb.reshape(-1, SUBN).astype(jnp.float32),
+            va.reshape(-1, SUB).astype(jnp.float32),
+            vb.reshape(-1, SUB).astype(jnp.float32),
+            wa.reshape(-1, SUB).astype(jnp.float32),
+            wb.reshape(-1, SUB).astype(jnp.float32),
             ge, x_loc, nw, window=window, fa=fa,
             interpret=interpret,
             precision=_kernel_precision(ge.dtype, prec))

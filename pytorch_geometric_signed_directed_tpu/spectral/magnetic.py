@@ -249,13 +249,23 @@ def magnet_propagators(
     # scale).
     loops = np.arange(num_nodes)
     e_off = ei.shape[1] - num_nodes
-    assert np.array_equal(ei[0, e_off:], loops) and \
-        np.array_equal(ei[1, e_off:], loops), "unexpected Laplacian layout"
+    if not (np.array_equal(ei[0, e_off:], loops)
+            and np.array_equal(ei[1, e_off:], loops)):
+        raise ValueError("unexpected Laplacian layout (trailing diagonal)")
     w_re[e_off:] -= 1.0
     ke = ei[0, :e_off] * np.int64(num_nodes) + ei[1, :e_off]
     kl = loops * np.int64(num_nodes) + loops
+    # the merge requires ke and kl disjoint (off-diagonal edges only —
+    # _symmetrize strips self-loops); a violation would silently collide
+    # two writes and ship an uninitialized slot, so fail loud instead
+    diag_hits = np.searchsorted(ke, kl)
+    if len(ke):
+        hit = diag_hits < len(ke)
+        if np.any(ke[diag_hits[hit]] == kl[hit]):
+            raise ValueError(
+                "diagonal entry in the Laplacian edge section")
     edge_dst = np.arange(e_off) + np.searchsorted(kl, ke)
-    loop_dst = np.searchsorted(ke, kl) + loops
+    loop_dst = diag_hits + loops
     total = e_off + num_nodes
     row = np.empty(total, np.int64)
     col = np.empty(total, np.int64)
@@ -513,7 +523,6 @@ def _tda_bwd(res, g):
         # streamed (giant-graph) template: same fused scatter+SDDMM, one
         # block at a time through the aliased accumulate kernel
         from ..ops.pallas.scatter_mxu import streamed_dual_scatter_sddmm
-        from ..ops.spmm import get_message_dtype
 
         mdt = get_message_dtype() or g.dtype
         two_pi_q = 2.0 * jnp.pi * q
