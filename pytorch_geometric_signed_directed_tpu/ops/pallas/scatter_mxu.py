@@ -863,54 +863,109 @@ def _dual_bwd_accum(win, local_rows, va, vb, wa, wb, ge, x_pad, out, acc,
 
 
 def streamed_dual_scatter_sddmm(stream: StreamPlan, col_blocks, make_terms,
-                                g, x: jnp.ndarray, fa: int):
+                                g, x: jnp.ndarray, fa: int, g_hot=None):
     """Streamed fused trainable-dual backward (see dual_scatter_sddmm).
 
     lax.scan over the stream's blocks; ``make_terms(ge_block, i)`` maps the
-    gathered cotangent block ``g[col_blocks[i]]`` to
-    ``(ge, va, vb, wa, wb)`` — the per-edge message cotangent, operator
-    values, and d(value)/dparam weights for block ``i``, all in block plan
-    order ([E_blk] / [E_blk, 2F]).  Returns (dx [num_rows, 2F],
-    partials [2F]); both accumulate in place across blocks through the
-    aliased pallas outputs, so peak per-edge memory stays one block.
+    gathered cotangent block (``g_hot[col_blocks[i]]`` for the leading
+    ``stream.hot_blocks`` blocks of a col-split layout, ``g[col_blocks[i]]``
+    otherwise) to ``(ge, va, vb, wa, wb)`` — the per-edge message
+    cotangent, operator values, and d(value)/dparam weights for block
+    ``i``, all in block plan order ([E_blk] / [E_blk, 2F]).  Returns
+    (dx [num_rows, 2F], partials [2F]); both accumulate in place across
+    blocks through the aliased pallas outputs, so peak per-edge memory
+    stays one block.
     """
     from ..spmm import get_matmul_precision
 
-    if stream.hot_blocks:
-        raise ValueError("streamed_dual_scatter_sddmm does not support "
-                         "col-split streams (templates are built unsplit)")
     window = stream.window
     interpret = jax.default_backend() != "tpu"
     s = stream.win.shape[0]
+    hb = stream.hot_blocks
+    if hb and g_hot is None:
+        raise ValueError("col-split stream needs g_hot (gather g[hot_ids] "
+                         "before calling)")
     f2 = g.shape[1]
     nwin = stream.num_windows * window
     x_pad = jnp.pad(x, ((0, nwin - x.shape[0]), (0, 0)))
     precision = get_matmul_precision()
 
-    def body(carry, blk):
-        out, acc = carry
-        i, win, lr, col = blk
-        ge, va, vb, wa, wb = make_terms(g[col], i)
+    def section(carry, lo, hi, src):
+        def body(carry, blk):
+            out, acc = carry
+            i, win, lr, col = blk
+            ge, va, vb, wa, wb = make_terms(src[col], i)
+            if ge.dtype not in (jnp.float32, jnp.bfloat16):
+                ge = ge.astype(jnp.float32)
+            out, acc = _dual_bwd_accum(
+                win, lr,
+                va.reshape(-1, SUB).astype(jnp.float32),
+                vb.reshape(-1, SUB).astype(jnp.float32),
+                wa.reshape(-1, SUB).astype(jnp.float32),
+                wb.reshape(-1, SUB).astype(jnp.float32),
+                ge, x_pad, out, acc, window=window, fa=fa,
+                interpret=interpret,
+                precision=_kernel_precision(ge.dtype, precision))
+            return (out, acc), None
+
+        carry, _ = jax.lax.scan(
+            body, carry,
+            (jnp.arange(lo, hi), stream.win[lo:hi],
+             stream.local_rows[lo:hi], col_blocks[lo:hi]))
+        return carry
+
+    carry = (jnp.zeros((nwin, f2), jnp.float32),
+             jnp.zeros((1, f2), jnp.float32))
+    if hb:
+        carry = section(carry, 0, hb, g_hot)
+    if hb < s:
+        carry = section(carry, hb, s, g)
+    out, acc = carry
+    mask = jnp.repeat(stream.visited, window)[: stream.num_rows]
+    return jnp.where(mask[:, None], out[: stream.num_rows], 0.0), acc[0]
+
+
+def split_dual_scatter_sddmm(plan: ScatterPlan, ge_hot, ge_cold,
+                             va, vb, wa, wb, x: jnp.ndarray, fa: int):
+    """Col-split flat variant of dual_scatter_sddmm: two aliased fused
+    passes (the leading hot chunks, then the cold chunks) accumulate into
+    one (out, acc).  A window revisited by the second section seeds from
+    the prior buffer, same contract as split_scatter_accum.  ``ge_hot`` /
+    ``ge_cold`` are the gathered cotangent sections ([he, 2F] from
+    g[hot_ids], [E2-he, 2F] from g); ``va``..``wb`` full plan-order [E2].
+    """
+    from ..spmm import get_matmul_precision
+
+    f2 = (ge_cold if ge_cold is not None else ge_hot).shape[1]
+    nwin = plan.num_windows * plan.window
+    x_pad = jnp.pad(x, ((0, nwin - x.shape[0]), (0, 0)))
+    num_chunks = plan.win.shape[0]
+    sub = plan.local_rows.shape[0] // num_chunks
+    chunk = sub * SUB
+    hc = plan.hot_chunks
+    he = hc * chunk
+    interpret = jax.default_backend() != "tpu"
+    precision = get_matmul_precision()
+    out = jnp.zeros((nwin, f2), jnp.float32)
+    acc = jnp.zeros((1, f2), jnp.float32)
+    for (c0, c1, e0, e1, ge) in (
+            (0, hc, 0, he, ge_hot),
+            (hc, num_chunks, he, num_chunks * chunk, ge_cold)):
+        if c1 == c0:
+            continue
         if ge.dtype not in (jnp.float32, jnp.bfloat16):
             ge = ge.astype(jnp.float32)
         out, acc = _dual_bwd_accum(
-            win, lr,
-            va.reshape(-1, SUB).astype(jnp.float32),
-            vb.reshape(-1, SUB).astype(jnp.float32),
-            wa.reshape(-1, SUB).astype(jnp.float32),
-            wb.reshape(-1, SUB).astype(jnp.float32),
-            ge, x_pad, out, acc, window=window, fa=fa,
+            plan.win[c0:c1], plan.local_rows[c0 * sub:c1 * sub],
+            va[e0:e1].reshape(-1, SUB).astype(jnp.float32),
+            vb[e0:e1].reshape(-1, SUB).astype(jnp.float32),
+            wa[e0:e1].reshape(-1, SUB).astype(jnp.float32),
+            wb[e0:e1].reshape(-1, SUB).astype(jnp.float32),
+            ge, x_pad, out, acc, window=plan.window, fa=fa,
             interpret=interpret,
             precision=_kernel_precision(ge.dtype, precision))
-        return (out, acc), None
-
-    out = jnp.zeros((nwin, f2), jnp.float32)
-    acc = jnp.zeros((1, f2), jnp.float32)
-    (out, acc), _ = jax.lax.scan(
-        body, (out, acc),
-        (jnp.arange(s), stream.win, stream.local_rows, col_blocks))
-    mask = jnp.repeat(stream.visited, window)[: stream.num_rows]
-    return jnp.where(mask[:, None], out[: stream.num_rows], 0.0), acc[0]
+    mask = jnp.repeat(plan.visited, plan.window)[: plan.num_rows]
+    return jnp.where(mask[:, None], out[: plan.num_rows], 0.0), acc[0]
 
 
 # Plans whose PADDED edge count (the flat plan layout, chunk padding

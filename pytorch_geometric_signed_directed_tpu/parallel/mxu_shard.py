@@ -426,7 +426,7 @@ def build_sharded_template(tmpl, mesh: Mesh, axis: str = "graph"):
     from ..spectral.magnetic import MagneticTemplate
 
     rows, valid = _planned_valid_edges(tmpl)
-    col = np.asarray(tmpl.col).reshape(-1)[valid]
+    col = _unsplit_cols(tmpl, valid)   # map compact hot ids back
     a = np.asarray(tmpl.a_norm).reshape(-1)[valid]
     th = np.asarray(tmpl.theta).reshape(-1)[valid]
     S = build_sharded_mxu(rows, col, a, tmpl.num_nodes, tmpl.num_nodes,

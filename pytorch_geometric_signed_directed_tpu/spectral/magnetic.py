@@ -330,6 +330,9 @@ class MagneticTemplate:
     plan: Optional[object] = None    # ops.pallas.scatter_mxu.ScatterPlan
     stream: Optional[object] = None  # ops.pallas.scatter_mxu.StreamPlan
     transposed: object = None        # Optional[MagneticTemplate]
+    # col-split layouts: hot edges' col ids index x[hot_ids] (see
+    # ops.pallas.scatter_mxu.col_degree_split); None = unsplit
+    hot_ids: Optional[jnp.ndarray] = None
 
 
 def _mxu_template(row, col, a_norm, theta, num_nodes: int,
@@ -340,6 +343,7 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
         _build_plan_host,
         _plan_from_host,
         _stream_from_host,
+        col_degree_split,
         permute_edge_data,
     )
 
@@ -347,7 +351,12 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
     # class docstring for why the formulas then transpose correctly)
     t = (_mxu_template(col, row, a_norm, theta, num_nodes, False)
          if with_transpose else None)
-    h = _build_plan_host(row, num_nodes)
+    split = col_degree_split(col, num_nodes)
+    grp, hot_ids = None, None
+    if split is not None:
+        grp, col, hot_ids = split
+        hot_ids = jnp.asarray(hot_ids)
+    h = _build_plan_host(row, num_nodes, group=grp)
     if len(h["perm"]) > STREAM_THRESHOLD_EDGES:
         stream, perm = _stream_from_host(h, STREAM_BLOCK_EDGES)
         col_p, a_p, t_p = permute_edge_data(
@@ -358,7 +367,7 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
             a_norm=jnp.asarray(a_p).reshape(s, -1),
             theta=jnp.asarray(t_p).reshape(s, -1), row=None,
             col=jnp.asarray(col_p).reshape(s, -1), num_nodes=num_nodes,
-            mode="mxu", stream=stream, transposed=t)
+            mode="mxu", stream=stream, transposed=t, hot_ids=hot_ids)
     plan, perm = _plan_from_host(h)
     col_p, a_p, t_p = permute_edge_data(
         perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
@@ -366,7 +375,7 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
     return MagneticTemplate(
         a_norm=jnp.asarray(a_p), theta=jnp.asarray(t_p), row=None,
         col=jnp.asarray(col_p), num_nodes=num_nodes, mode="mxu",
-        plan=plan, transposed=t)
+        plan=plan, transposed=t, hot_ids=hot_ids)
 
 
 def magnetic_template(
@@ -444,9 +453,11 @@ def template_propagators(tmpl: MagneticTemplate, q) -> Tuple[Propagator, Propaga
             t = None
             if tt is not None:
                 t = MXUCoo(plan=tt.plan, col=tt.col, val=vals_t,
-                           num_cols=n, transposed=None, stream=tt.stream)
+                           num_cols=n, transposed=None, stream=tt.stream,
+                           hot_ids=tt.hot_ids)
             return MXUCoo(plan=tmpl.plan, col=tmpl.col, val=vals,
-                          num_cols=n, transposed=t, stream=tmpl.stream)
+                          num_cols=n, transposed=t, stream=tmpl.stream,
+                          hot_ids=tmpl.hot_ids)
 
         return (
             Propagator(coo=None, dense=None, bsr=None, mode="mxu",
@@ -535,20 +546,17 @@ def _tda_bwd(res, g):
             return (ge, -a * jnp.cos(ang), a * jnp.sin(ang),
                     scale * jnp.sin(ang), scale * jnp.cos(ang))
 
+        g_hot = (g.astype(mdt)[tt.hot_ids]
+                 if tt.stream.hot_blocks else None)
         dx, partials = streamed_dual_scatter_sddmm(
-            tt.stream, tt.col, make_terms, g.astype(mdt), x, fa)
+            tt.stream, tt.col, make_terms, g.astype(mdt), x, fa,
+            g_hot=g_hot)
         dq = partials.sum().astype(jnp.asarray(q).dtype)
         zero = jax.tree.map(
             lambda p: (jnp.zeros_like(p)
                        if jnp.issubdtype(p.dtype, jnp.floating)
                        else np.zeros(p.shape, jax.dtypes.float0)), tmpl)
         return zero, dq, dx.astype(g.dtype)
-    if tmpl.plan.hot_chunks or tt.plan.hot_chunks:
-        # templates are built unsplit today; guard the invariant the
-        # fused kernel relies on (no compact col remap, one window
-        # section) in case that ever changes
-        raise ValueError("template_dual_apply does not support col-split "
-                         "plans")
     # One row gather (same count as the frozen backward); everything else
     # is MXU work in one fused kernel.  For t-plan edge ẽ = (col_e ->
     # row_e) of original edge e, ge_t[ẽ] = g[row_e] and the t-plan row
@@ -557,7 +565,6 @@ def _tda_bwd(res, g):
     # d(-a cos(ang))/dq = a sin(ang)·2πθ ; d(a sin(ang))/dq = a cos(ang)·2πθ
     # (cos even / sin odd in θ: the same formulas hold in t order).
     mdt = get_message_dtype() or g.dtype
-    ge_t = g.astype(mdt)[tt.col]
     ang_t = 2.0 * jnp.pi * q * tt.theta
     scale = 2.0 * jnp.pi * tt.theta * tt.a_norm
     re_t = -tt.a_norm * jnp.cos(ang_t)
@@ -565,8 +572,20 @@ def _tda_bwd(res, g):
     w_a = scale * jnp.sin(ang_t)
     w_b = scale * jnp.cos(ang_t)
     fa = x.shape[1] // 2
-    dx, partials = dual_scatter_sddmm(tt.plan, ge_t, re_t, im_t,
-                                      w_a, w_b, x, fa)
+    g_mdt = g.astype(mdt)
+    if tt.plan.hot_chunks:
+        # col-split transpose: the hot section's cotangent gathers from
+        # the compact g[hot_ids] table; two aliased fused passes
+        from ..ops.pallas.scatter_mxu import SUB, split_dual_scatter_sddmm
+
+        sub = tt.plan.local_rows.shape[0] // tt.plan.win.shape[0]
+        he = tt.plan.hot_chunks * sub * SUB
+        dx, partials = split_dual_scatter_sddmm(
+            tt.plan, g_mdt[tt.hot_ids][tt.col[:he]], g_mdt[tt.col[he:]],
+            re_t, im_t, w_a, w_b, x, fa)
+    else:
+        dx, partials = dual_scatter_sddmm(tt.plan, g_mdt[tt.col],
+                                          re_t, im_t, w_a, w_b, x, fa)
     dx = dx.astype(g.dtype)
     dq = partials.sum().astype(jnp.asarray(q).dtype)
     zero = jax.tree.map(
@@ -592,8 +611,10 @@ def template_dual(tmpl: MagneticTemplate, q) -> DualPropagator:
             col=tmpl.transposed.col, row=None, val_a=re_t, val_b=im_t,
             plan=tmpl.transposed.plan, num_nodes=tmpl.num_nodes,
             num_cols=tmpl.num_nodes, mode="mxu",
-            stream=tmpl.transposed.stream)
+            stream=tmpl.transposed.stream,
+            hot_ids=tmpl.transposed.hot_ids)
     return DualPropagator(
         col=tmpl.col, row=None, val_a=re_vals, val_b=im_vals,
         plan=tmpl.plan, num_nodes=tmpl.num_nodes, num_cols=tmpl.num_nodes,
-        mode="mxu", transposed=t, stream=tmpl.stream)
+        mode="mxu", transposed=t, stream=tmpl.stream,
+        hot_ids=tmpl.hot_ids)

@@ -426,6 +426,68 @@ class TestMxuTemplate:
             params["params"]["MagNetConv_0"]["q"][0])
         assert 0.0 <= q_after <= 0.25
 
+    def test_template_dual_apply_col_split(self):
+        """Trainable q on col-split templates (flat AND streamed): the
+        sectioned fused backward matches the unsplit template exactly."""
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+            scatter_mxu)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_dual_apply)
+
+        rng = np.random.default_rng(23)
+        n, e = 512, 6000
+        # zipf columns so the hot table covers real mass
+        ei = np.vstack([rng.integers(0, n, e),
+                        (rng.zipf(1.3, e) - 1) % n])
+        w = rng.random(e).astype(np.float32)
+        tmpl_ref = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        assert tmpl_ref.hot_ids is None
+        x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+        q0 = 0.19
+
+        def f(t):
+            return lambda q, x: (template_dual_apply(t, q, x) * g_out).sum()
+
+        v_ref = float(f(tmpl_ref)(q0, x))
+        dq_ref, dx_ref = jax.grad(f(tmpl_ref), argnums=(0, 1))(q0, x)
+
+        saved = (scatter_mxu.COL_SPLIT_MIN_COLS,
+                 scatter_mxu.GATHER_FAST_ROWS,
+                 scatter_mxu.COL_SPLIT_MIN_COVERAGE,
+                 scatter_mxu.STREAM_THRESHOLD_EDGES,
+                 scatter_mxu.STREAM_BLOCK_EDGES)
+        try:
+            scatter_mxu.COL_SPLIT_MIN_COLS = 100
+            scatter_mxu.GATHER_FAST_ROWS = 64
+            scatter_mxu.COL_SPLIT_MIN_COVERAGE = 0.0
+            for streamed in (False, True):
+                if streamed:
+                    scatter_mxu.STREAM_THRESHOLD_EDGES = 1024
+                    scatter_mxu.STREAM_BLOCK_EDGES = 2048
+                t = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+                assert t.hot_ids is not None
+                assert (t.stream is not None) == streamed
+                if streamed:
+                    assert t.transposed.stream.hot_blocks > 0
+                else:
+                    assert t.transposed.plan.hot_chunks > 0
+                np.testing.assert_allclose(float(f(t)(q0, x)), v_ref,
+                                           rtol=1e-5)
+                dq, dx = jax.jit(jax.grad(f(t), argnums=(0, 1)))(q0, x)
+                np.testing.assert_allclose(np.asarray(dx),
+                                           np.asarray(dx_ref),
+                                           rtol=1e-4, atol=1e-5)
+                np.testing.assert_allclose(float(dq), float(dq_ref),
+                                           rtol=1e-3, atol=1e-6)
+        finally:
+            (scatter_mxu.COL_SPLIT_MIN_COLS, scatter_mxu.GATHER_FAST_ROWS,
+             scatter_mxu.COL_SPLIT_MIN_COVERAGE,
+             scatter_mxu.STREAM_THRESHOLD_EDGES,
+             scatter_mxu.STREAM_BLOCK_EDGES) = saved
+
     def test_template_dual_apply_streamed(self):
         """Streamed (giant-graph) trainable-q: the blocked fused backward
         matches the flat plan's forward, dx, and dq exactly."""
