@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--alpha_1", type=float, default=0.1)
     ap.add_argument("--alpha_2", type=float, default=0.3)
     ap.add_argument("--drop_rate", type=float, default=0.3)
+    # reference examples/digcl_node.py:18 uses a second (stronger) drop
+    # rate for the curriculum view
+    ap.add_argument("--drop_rate_2", type=float, default=0.4)
+    ap.add_argument("--weight_decay", type=float, default=5e-4)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--proj_hidden", type=int, default=64)
     ap.add_argument("--tau", type=float, default=0.4)
@@ -52,7 +56,9 @@ def main(argv=None):
                   tau=args.tau, num_layers=2)
     params = model.init(jax.random.PRNGKey(args.seed), x, P1,
                         method=DiGCL.warmup)
-    tx = optax.adam(args.lr)
+    tx = (optax.chain(optax.add_decayed_weights(args.weight_decay),
+                      optax.adam(args.lr))
+          if args.weight_decay else optax.adam(args.lr))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -63,7 +69,7 @@ def main(argv=None):
             return model.apply(p, z1, z2, method=DiGCL.loss)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state)
+        updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     def curriculum(epoch):
@@ -85,7 +91,7 @@ def main(argv=None):
         P2 = gcn_norm_propagator(ei2, w2, n, mode="dense")
         key, k1, k2 = jax.random.split(key, 3)
         x1 = drop_feature(x, args.drop_rate, k1)
-        x2 = drop_feature(x, args.drop_rate, k2)
+        x2 = drop_feature(x, args.drop_rate_2, k2)
         params, opt_state, loss = step(params, opt_state, x1, x2, P1, P2)
         if (epoch + 1) % 20 == 0:
             print(f"epoch {epoch + 1}: loss {float(loss):.4f}")

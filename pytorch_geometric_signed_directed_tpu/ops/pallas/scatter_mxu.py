@@ -1003,9 +1003,18 @@ class MXUCoo:
 
 
 def mxu_from_coo(A, with_transpose: bool = True,
-                 stream_threshold: int = STREAM_THRESHOLD_EDGES,
-                 stream_block_edges: int = STREAM_BLOCK_EDGES) -> MXUCoo:
-    """Build from ops.coo.COO (valid entries only)."""
+                 stream_threshold: Optional[int] = None,
+                 stream_block_edges: Optional[int] = None) -> MXUCoo:
+    """Build from ops.coo.COO (valid entries only).
+
+    ``stream_threshold`` / ``stream_block_edges`` default to the
+    module-level knobs AT CALL TIME (a def-time default would freeze
+    them, making runtime knob overrides silently ineffective here while
+    dual_propagator honored them)."""
+    if stream_threshold is None:
+        stream_threshold = STREAM_THRESHOLD_EDGES
+    if stream_block_edges is None:
+        stream_block_edges = STREAM_BLOCK_EDGES
     row = np.asarray(A.row)[: A.nnz]
     col = np.asarray(A.col)[: A.nnz]
     val = np.asarray(A.val)[: A.nnz]

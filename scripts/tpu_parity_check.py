@@ -1,0 +1,184 @@
+"""On-device numerical parity sweep: every kernel tier on the REAL TPU.
+
+The CPU test suite (tests/, 8-device virtual mesh) proves semantics; this
+script proves the same numbers come out of the actual chip — Pallas
+lowering, Mosaic layouts, and the XLA TPU backend included.  Each check
+builds a small-but-nontrivial graph, runs the public API on the default
+(TPU) backend at HIGHEST matmul precision, and compares against a
+scipy/numpy float64 ground truth.
+
+Run: python scripts/tpu_parity_check.py       (~2-4 min incl. compiles)
+Exit code 0 = every check under tolerance; each line reports max |err|.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+    dual_propagator, dual_spmm, make_propagator, set_matmul_precision)
+from pytorch_geometric_signed_directed_tpu.ops.segment import segment_softmax
+from pytorch_geometric_signed_directed_tpu.ops.pallas import scatter_mxu
+from pytorch_geometric_signed_directed_tpu.spectral import (
+    magnet_propagators, magnetic_template, template_dual_apply)
+
+FAILS = []
+
+
+def check(name, got, want, atol=5e-5):
+    err = float(np.abs(np.asarray(got, np.float64) - want).max())
+    ok = err <= atol
+    print(f"{'ok  ' if ok else 'FAIL'} {name}: max|err|={err:.2e}",
+          flush=True)
+    if not ok:
+        FAILS.append(name)
+
+
+def rand_graph(rng, n, e):
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    return row, col, w
+
+
+def dense_of(row, col, w, n):
+    A = np.zeros((n, n))
+    np.add.at(A, (row, col), w)
+    return A
+
+
+def main():
+    print("backend:", jax.default_backend(), flush=True)
+    set_matmul_precision("highest")
+    rng = np.random.default_rng(0)
+
+    # --- propagator tiers ---------------------------------------------
+    n, e = 700, 5000
+    row, col, w = rand_graph(rng, n, e)
+    A = dense_of(row, col, w, n)
+    x = rng.standard_normal((n, 19)).astype(np.float32)  # non-lane-aligned
+    want = A @ x
+    for mode in ("dense", "segment", "mxu", "bsr"):
+        P = make_propagator(row, col, w, n, mode=mode)
+        check(f"spmm tier={mode}", P(jnp.asarray(x)), want)
+        g = jax.grad(lambda v: jnp.sum(jnp.sin(P(v))))(jnp.asarray(x))
+        check(f"spmm grad tier={mode}", g, A.T @ np.cos(A @ x))
+
+    # --- streamed + col-split scatter ---------------------------------
+    saved = (scatter_mxu.STREAM_THRESHOLD_EDGES,
+             scatter_mxu.STREAM_BLOCK_EDGES,
+             scatter_mxu.COL_SPLIT_MIN_COLS,
+             scatter_mxu.GATHER_FAST_ROWS,
+             scatter_mxu.COL_SPLIT_MIN_COVERAGE)
+    try:
+        scatter_mxu.STREAM_THRESHOLD_EDGES = 1024
+        scatter_mxu.STREAM_BLOCK_EDGES = 2048
+        P = make_propagator(row, col, w, n, mode="mxu")
+        assert P.mxu.stream is not None
+        check("spmm streamed", P(jnp.asarray(x)), want)
+        scatter_mxu.COL_SPLIT_MIN_COLS = 100
+        scatter_mxu.GATHER_FAST_ROWS = 64
+        scatter_mxu.COL_SPLIT_MIN_COVERAGE = 0.0
+        P = make_propagator(row, col, w, n, mode="mxu")
+        assert P.mxu.hot_ids is not None
+        check("spmm streamed+col-split", P(jnp.asarray(x)), want)
+        scatter_mxu.STREAM_THRESHOLD_EDGES = saved[0]
+        scatter_mxu.STREAM_BLOCK_EDGES = saved[1]
+        P = make_propagator(row, col, w, n, mode="mxu")
+        assert P.mxu.plan is not None and P.mxu.hot_ids is not None
+        check("spmm flat col-split", P(jnp.asarray(x)), want)
+        g = jax.grad(lambda v: jnp.sum(jnp.sin(P(v))))(jnp.asarray(x))
+        check("spmm flat col-split grad", g, A.T @ np.cos(A @ x))
+    finally:
+        (scatter_mxu.STREAM_THRESHOLD_EDGES, scatter_mxu.STREAM_BLOCK_EDGES,
+         scatter_mxu.COL_SPLIT_MIN_COLS, scatter_mxu.GATHER_FAST_ROWS,
+         scatter_mxu.COL_SPLIT_MIN_COVERAGE) = saved
+
+    # --- fused dual ----------------------------------------------------
+    wb = rng.random(e).astype(np.float32)
+    # dual_propagator requires coalesced shared structure
+    key = row.astype(np.int64) * n + col
+    uniq = np.unique(key)
+    r2, c2 = uniq // n, uniq % n
+    wa2 = np.zeros(len(uniq), np.float32)
+    wb2 = np.zeros(len(uniq), np.float32)
+    np.add.at(wa2, np.searchsorted(uniq, key), w)
+    np.add.at(wb2, np.searchsorted(uniq, key), wb)
+    Aa = dense_of(r2, c2, wa2, n)
+    Ab = dense_of(r2, c2, wb2, n)
+    D = dual_propagator(r2, c2, wa2, wb2, n, mode="mxu")
+    xb = rng.standard_normal((n, 19)).astype(np.float32)
+    ya, yb2 = dual_spmm(D, jnp.asarray(x), jnp.asarray(xb))
+    check("dual_spmm a", ya, Aa @ x)
+    check("dual_spmm b", yb2, Ab @ xb)
+
+    # --- magnetic pair + trainable q ------------------------------------
+    # the magnetic Laplacian strips self-loops
+    # (reference get_magnetic_Laplacian.py; spectral._remove_self_loops),
+    # so the dense ground truth must too
+    keep = row != col
+    row, col, w = row[keep], col[keep], w[keep]
+    A = dense_of(row, col, w, n)
+    ei = np.vstack([row, col])
+    q = 0.2
+    As = (A + A.T) / 2.0
+    theta = 2 * np.pi * q * (A - A.T)
+    deg = As.sum(1)
+    dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    H = dinv[:, None] * As * dinv[None, :] * np.exp(1j * theta)
+    Lhat = (-H).T          # 2L/2 - I with L = I - H
+    pair = magnet_propagators(ei, w, q=q, num_nodes=n, mode="mxu")
+    check("magnet re", pair.re(jnp.asarray(x)), Lhat.real @ x)
+    check("magnet im", pair.im(jnp.asarray(x)), Lhat.imag @ x)
+
+    tmpl = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+    x2 = jnp.asarray(np.concatenate([x, x], axis=1))
+    out = template_dual_apply(tmpl, q, x2)
+    check("template fwd re", out[:, :19], Lhat.real @ x)
+    check("template fwd im", out[:, 19:], Lhat.imag @ x)
+    gsum = jnp.asarray(rng.standard_normal((n, 38)).astype(np.float32))
+
+    def f(qv, v):
+        return (template_dual_apply(tmpl, qv, v) * gsum).sum()
+
+    dq, dx = jax.grad(f, argnums=(0, 1))(q, x2)
+    eps = 1e-3
+    fd = (float(f(q + eps, x2)) - float(f(q - eps, x2))) / (2 * eps)
+    check("template dq vs finite-diff", np.asarray(dq), np.float64(fd),
+          atol=max(5e-3 * abs(fd), 1e-3))
+
+    # --- segment softmax (attention path) -------------------------------
+    seg = np.sort(rng.integers(0, 50, 400)).astype(np.int32)
+    logits = rng.standard_normal(400).astype(np.float32)
+    got = segment_softmax(jnp.asarray(logits), jnp.asarray(seg), 50)
+    want_sm = np.zeros_like(logits, dtype=np.float64)
+    for s in np.unique(seg):
+        m = seg == s
+        z = np.exp(logits[m].astype(np.float64)
+                   - logits[m].astype(np.float64).max())
+        want_sm[m] = z / z.sum()
+    check("segment_softmax", got, want_sm, atol=1e-6)
+
+    # --- scipy CSR cross-check on a bigger asymmetric graph -------------
+    n2, e2 = 4000, 60000
+    r3, c3, w3 = rand_graph(rng, n2, e2)
+    S = sp.coo_matrix((w3.astype(np.float64), (r3, c3)),
+                      shape=(n2, n2)).tocsr()
+    x3 = rng.standard_normal((n2, 33)).astype(np.float32)
+    P = make_propagator(r3, c3, w3, n2, mode="mxu")
+    check("spmm mxu vs scipy (N=4000)", P(jnp.asarray(x3)), S @ x3,
+          atol=2e-4)
+
+    print(f"\n{len(FAILS)} failures" if FAILS else "\nall parity checks ok",
+          flush=True)
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
