@@ -41,6 +41,26 @@ def timed(fn, *args, steps=30):
     return (time.perf_counter() - t0) / steps
 
 
+def scan_timed(fn, x0, steps=30):
+    """Time fn amortized inside one jitted lax.scan (no per-call dispatch,
+    which costs ~ms over the tunneled runtime).  ``fn(x)`` must map a
+    [N, F] input to some array; a data dependence through the scan carry
+    defeats loop hoisting/CSE of the constant-operand computation."""
+
+    @jax.jit
+    def run(x0):
+        def body(c, _):
+            out = fn(x0 + c.astype(x0.dtype))
+            return jnp.float32(1e-20) * out.ravel()[0], None
+
+        return jax.lax.scan(body, jnp.float32(0.0), None, length=steps)[0]
+
+    run(x0).block_until_ready()
+    t0 = time.perf_counter()
+    run(x0).block_until_ready()
+    return (time.perf_counter() - t0) / steps
+
+
 def main():
     print("backend:", jax.default_backend(), flush=True)
     set_matmul_precision("default")
@@ -63,12 +83,12 @@ def main():
     idx = jnp.asarray(np.asarray(D.col))
     table = jnp.asarray(
         np.random.default_rng(1).standard_normal((n, f2)), jnp.bfloat16)
-    t_gather = timed(jax.jit(lambda t, i: t[i]), table, idx)
+    t_gather = scan_timed(lambda t: t[idx], table)
 
     # (b) one fused dual apply (gather + weighting + scatter kernel)
     xx = jnp.asarray(
         np.random.default_rng(2).standard_normal((n, f2)), jnp.float32)
-    t_apply = timed(jax.jit(lambda d, v: dual_spmm_stacked(d, v)), D, xx)
+    t_apply = scan_timed(lambda v: dual_spmm_stacked(D, v), xx)
 
     # (c) the full train step (fwd+bwd+adam)
     model = MagNet_node_classification(
