@@ -306,7 +306,10 @@ def _forward(S: ShardedMXU, x):
         def make_msgs(g, val, vb):
             return (g * jnp.where(lane[None, :], val[:, None],
                                   vb[:, None])).astype(mdt)
-    return _local_apply(S, x, make_msgs).astype(x.dtype)
+    # gather straight from a message-dtype table (bf16 rows halve the
+    # gather's read traffic, the dominant cost of each shard's apply —
+    # same pre-cast the single-chip tier does in _dual_forward_stacked)
+    return _local_apply(S, x.astype(mdt), make_msgs).astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -467,11 +470,11 @@ def _sharded_template_forward(S: ShardedMXU, q, x):
 
     def make_msgs(g, a, th):
         va, vb, _, _ = _template_terms(a, th, qv)
-        return (g.astype(mdt)
-                * jnp.where(lane[None, :], va[:, None],
-                            vb[:, None])).astype(mdt)
+        return (g * jnp.where(lane[None, :], va[:, None],
+                              vb[:, None])).astype(mdt)
 
-    return _local_apply(S, x, make_msgs).astype(x.dtype)
+    # gather from the message-dtype table (see _forward)
+    return _local_apply(S, x.astype(mdt), make_msgs).astype(x.dtype)
 
 
 @jax.custom_vjp

@@ -530,7 +530,12 @@ def _tda_bwd(res, g):
     if tmpl.mode != "mxu" or tt is None:
         raise ValueError("template_dual_apply backward needs an mxu "
                          "template with a transpose")
-    if tmpl.plan is None:
+    # branch on the TRANSPOSE's own layout — the whole backward runs on
+    # tt, and although magnetic templates are symmetric (fwd and
+    # transpose always pick identical plans), deriving the branch from
+    # tmpl would hard-crash if the two ever straddled the stream
+    # threshold independently
+    if tt.plan is None:
         # streamed (giant-graph) template: same fused scatter+SDDMM, one
         # block at a time through the aliased accumulate kernel
         from ..ops.pallas.scatter_mxu import streamed_dual_scatter_sddmm
