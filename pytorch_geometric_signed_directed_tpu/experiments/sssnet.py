@@ -25,6 +25,10 @@ from pytorch_geometric_signed_directed_tpu.utils.general.triplet_loss import (
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    # --dataset ssbm reproduces the reference example (synthetic SSBM,
+    # examples/sssnet.py); real names dispatch through
+    # load_signed_real_data (sampson/rainfall/ppi/... are bundled)
+    ap.add_argument("--dataset", default="ssbm")
     ap.add_argument("--N", type=int, default=500)
     ap.add_argument("--K", type=int, default=3)
     ap.add_argument("--p", type=float, default=0.1)
@@ -37,11 +41,21 @@ def main(argv=None):
     ap.add_argument("--seed_ratio", type=float, default=0.1)
     args = ap.parse_args(argv)
 
-    (A_p, A_n), labels = SSBM(args.N, args.K, args.p, args.eta,
-                              size_ratio=1.5,
-                              rng=np.random.default_rng(args.seed))
-    A, labels = extract_network((A_p - A_n).tocsr(), labels)
-    data = SignedData(A=A, y=labels)
+    if args.dataset == "ssbm":
+        (A_p, A_n), labels = SSBM(args.N, args.K, args.p, args.eta,
+                                  size_ratio=1.5,
+                                  rng=np.random.default_rng(args.seed))
+        A, labels = extract_network((A_p - A_n).tocsr(), labels)
+        data = SignedData(A=A, y=labels)
+    else:
+        from pytorch_geometric_signed_directed_tpu.data import (
+            load_signed_real_data)
+
+        data = load_signed_real_data(args.dataset)
+        if data.y is None:
+            raise SystemExit(f"{args.dataset} carries no labels; the "
+                             "clustering ARI protocol needs them")
+        args.K = int(np.asarray(data.y).max()) + 1
     data.set_spectral_adjacency_reg_features(k=args.K)
     data.node_split(train_size_per_class=0.8, val_size_per_class=0.1,
                     seed_size_per_class=args.seed_ratio, data_split=2)
