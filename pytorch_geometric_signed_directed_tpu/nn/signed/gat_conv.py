@@ -33,9 +33,22 @@ class GATConv(nn.Module):
         att_dst = self.param("att_dst", _glorot, (self.out_dim, 1))
         a_src = (h @ att_src)[:, 0]
         a_dst = (h @ att_dst)[:, 0]
-        src = jnp.minimum(g.src, n - 1)
-        dst_safe = jnp.minimum(g.dst, n - 1)
-        logits = nn.leaky_relu(a_src[src] + a_dst[dst_safe],
-                               self.negative_slope)
-        out = attention_softmax_aggregate(g, logits, h[src])
+        from ...parallel.attn_shard import (
+            ShardedAttnGraph,
+            sharded_attention_apply,
+        )
+
+        if isinstance(g, ShardedAttnGraph):
+            def edge_fn(src, dst, ep, valid):
+                logits = nn.leaky_relu(a_src[src] + a_dst[dst],
+                                       self.negative_slope)
+                return logits, h[src]
+
+            out = sharded_attention_apply(g, edge_fn)
+        else:
+            src = jnp.minimum(g.src, n - 1)
+            dst_safe = jnp.minimum(g.dst, n - 1)
+            logits = nn.leaky_relu(a_src[src] + a_dst[dst_safe],
+                                   self.negative_slope)
+            out = attention_softmax_aggregate(g, logits, h[src])
         return out + self.param("bias", nn.initializers.zeros, (self.out_dim,))

@@ -112,7 +112,32 @@ def snea_graphs(pos_edge_index, neg_edge_index, num_nodes: int
 
 
 def _attend(x1, x2, g: AttnGraph, alpha_dense: nn.Dense):
-    """One attention propagate: returns [N, F]."""
+    """One attention propagate: returns [N, F].
+
+    Accepts either a flat AttnGraph or a parallel.attn_shard
+    ShardedAttnGraph — the sharded path evaluates the same per-edge math
+    inside shard_map on each device's plan-ordered edges.
+    """
+    from ...parallel.attn_shard import (
+        ShardedAttnGraph,
+        sharded_attention_apply,
+    )
+
+    if isinstance(g, ShardedAttnGraph):
+        # materialize the Dense's params OUTSIDE shard_map (param creation
+        # inside a traced body would store tracers under .init); the call
+        # inside edge_fn then only reads them
+        alpha_dense(jnp.zeros((1, 2 * x1.shape[-1]), x1.dtype))
+
+        def edge_fn(src, dst, ep, valid):
+            sel = (ep == 1)[:, None]
+            h_j = jnp.where(sel, x2[src], x1[src])
+            h_i = jnp.where(sel, x2[dst], x1[dst])
+            edge_h = jnp.concatenate([h_j, h_i], axis=-1)
+            return jnp.tanh(alpha_dense(edge_h))[:, 0], h_i
+
+        return sharded_attention_apply(g, edge_fn)
+
     n = g.num_nodes
     src = jnp.minimum(g.src, n - 1)
     dst_safe = jnp.minimum(g.dst, n - 1)

@@ -16,8 +16,18 @@ from .sharded import (
 )
 from .edge_spmm import PartitionedCOO, partition_coo, place, sharded_spmm
 from .mxu_shard import ShardedMXU, build_sharded_mxu, sharded_mxu_spmm
+from .attn_shard import (
+    ShardedAttnGraph,
+    shard_attention_graph,
+    shard_attention_graphs,
+    sharded_attention_apply,
+)
 
 __all__ = [
+    "ShardedAttnGraph",
+    "shard_attention_graph",
+    "shard_attention_graphs",
+    "sharded_attention_apply",
     "ShardedMXU",
     "build_sharded_mxu",
     "sharded_mxu_spmm",

@@ -73,6 +73,27 @@ def test_link_sign_prediction_sgcn(capsys):
     assert "auc" in capsys.readouterr().out
 
 
+@pytest.mark.parametrize("method", ["sgcn", "snea", "msgnn", "sssnet"])
+def test_link_sign_direction_tasks(capsys, method):
+    """--method dispatch over four_class_signed_digraph (reference
+    examples/run_link_sign_direction_tasks.py:200-210)."""
+    run_example("run_link_sign_direction_tasks.py",
+                ["--dataset", "synthetic", "--num_nodes", "90",
+                 "--runs", "1", "--epochs", "2", "--method", method,
+                 "--in_dim", "8", "--out_dim", "8", "--hidden", "8"])
+    assert "mean acc" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("method", ["sigat", "sdgnn"])
+def test_link_sign_direction_tasks_attention(capsys, method):
+    run_example("run_link_sign_direction_tasks.py",
+                ["--dataset", "synthetic", "--num_nodes", "70",
+                 "--runs", "1", "--epochs", "2", "--method", method,
+                 "--in_dim", "8", "--out_dim", "8", "--num_classes", "5",
+                 "--direction_only"])
+    assert "direction_only mean acc" in capsys.readouterr().out
+
+
 def test_dgcn_link_synthetic(capsys):
     run_example("dgcn_link.py",
                 ["--dataset", "synthetic", "--num_nodes", "80",
