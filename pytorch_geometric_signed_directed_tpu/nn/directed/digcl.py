@@ -11,6 +11,7 @@ count — no recompiles.
 """
 from typing import Optional
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -21,15 +22,35 @@ from ..normalize import l2_normalize
 
 class _GCNConv(nn.Module):
     """PyG-style GCNConv body: x @ W -> propagate -> + bias (the gcn_norm
-    lives in the Propagator)."""
+    lives in the Propagator).  Glorot kernel init like PyG's
+    (reset_parameters -> glorot), zeros bias."""
 
     out_channels: int
 
     @nn.compact
     def __call__(self, x, P: Propagator):
-        x = nn.Dense(self.out_channels, use_bias=False)(x)
+        x = nn.Dense(self.out_channels, use_bias=False,
+                     kernel_init=nn.initializers.xavier_uniform())(x)
         return P(x) + self.param("bias", nn.initializers.zeros,
                                  (self.out_channels,))
+
+
+class _TorchLinear(nn.Module):
+    """torch.nn.Linear-equivalent init: weight AND bias both
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (flax kernels are [fan_in, out])."""
+
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / np.sqrt(fan_in)
+        init = nn.initializers.uniform(scale=2 * bound)
+        kernel = self.param("kernel", lambda k, s: init(k, s) - bound,
+                            (fan_in, self.out_features))
+        bias = self.param("bias", lambda k, s: init(k, s) - bound,
+                          (self.out_features,))
+        return x @ kernel + bias
 
 
 class _PReLU(nn.Module):
@@ -89,8 +110,10 @@ class DiGCL(nn.Module):
     def setup(self):
         self.encoder = DiGCL_Encoder(self.in_channels, self.num_hidden,
                                      self.activation, self.num_layers)
-        self.fc1 = nn.Dense(self.num_proj_hidden)
-        self.fc2 = nn.Dense(self.num_hidden)
+        # projection head inits follow torch.nn.Linear (the reference uses
+        # plain Linear layers here, not PyG modules)
+        self.fc1 = _TorchLinear(self.num_proj_hidden)
+        self.fc2 = _TorchLinear(self.num_hidden)
 
     def __call__(self, x, P: Propagator):
         return self.encoder(x, P)

@@ -20,14 +20,20 @@ def drop_feature(x: jnp.ndarray, drop_prob: float,
 
 
 def _fit_logreg(X_train, y_train):
+    import os
+
     from sklearn.linear_model import LogisticRegression
     from sklearn.model_selection import GridSearchCV
     from sklearn.multiclass import OneVsRestClassifier
 
     logreg = LogisticRegression(solver="liblinear")
     c = 2.0 ** np.arange(-10, 10)
+    # Cap the grid-search fan-out at the host's actual core count: liblinear
+    # fits are tiny and oversubscription (the reference hard-codes n_jobs=8)
+    # only adds process churn on small hosts.
     clf = GridSearchCV(estimator=OneVsRestClassifier(logreg),
-                       param_grid=dict(estimator__C=c), n_jobs=8, cv=5,
+                       param_grid=dict(estimator__C=c),
+                       n_jobs=min(8, os.cpu_count() or 1), cv=5,
                        verbose=0)
     clf.fit(X_train, y_train)
     return clf

@@ -61,7 +61,8 @@ def test_digcn_inception_telegram(capsys):
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
 def test_digcl_telegram(capsys):
-    run_example("digcl_node.py", ["--epochs", "3"])
+    run_example("digcl_node.py", ["--epochs", "3", "--dataset", "telegram",
+                                  "--splits", "1"])
     assert "test acc" in capsys.readouterr().out
 
 
@@ -130,5 +131,6 @@ def test_dgcn_node_telegram(capsys):
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
 def test_digcl_link_telegram(capsys):
-    run_example("digcl_link.py", ["--epochs", "3"])
+    run_example("digcl_link.py", ["--epochs", "3", "--dataset", "telegram",
+                                  "--splits", "1"])
     assert "test acc" in capsys.readouterr().out
