@@ -347,10 +347,18 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
         permute_edge_data,
     )
 
-    # transposed structure carries the ORIGINAL per-edge values (see
-    # class docstring for why the formulas then transpose correctly)
-    t = (_mxu_template(col, row, a_norm, theta, num_nodes, False)
-         if with_transpose else None)
+    # The transposed structure carries the ORIGINAL per-edge values (see
+    # class docstring for why the formulas then transpose correctly).
+    # Its plan build is independent of the forward's, so overlap the two
+    # in a worker thread (same tail-shaving as ops.spmm.dual_propagator).
+    t_fut = None
+    if with_transpose:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        t_fut = ex.submit(_mxu_template, col, row, a_norm, theta,
+                          num_nodes, False)
+
     split = col_degree_split(col, num_nodes)
     grp, hot_ids = None, None
     if split is not None:
@@ -363,19 +371,24 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
             perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
             theta.astype(np.float32))
         s = stream.win.shape[0]
-        return MagneticTemplate(
+        out = MagneticTemplate(
             a_norm=jnp.asarray(a_p).reshape(s, -1),
             theta=jnp.asarray(t_p).reshape(s, -1), row=None,
             col=jnp.asarray(col_p).reshape(s, -1), num_nodes=num_nodes,
-            mode="mxu", stream=stream, transposed=t, hot_ids=hot_ids)
-    plan, perm = _plan_from_host(h)
-    col_p, a_p, t_p = permute_edge_data(
-        perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
-        theta.astype(np.float32))
-    return MagneticTemplate(
-        a_norm=jnp.asarray(a_p), theta=jnp.asarray(t_p), row=None,
-        col=jnp.asarray(col_p), num_nodes=num_nodes, mode="mxu",
-        plan=plan, transposed=t, hot_ids=hot_ids)
+            mode="mxu", stream=stream, transposed=None, hot_ids=hot_ids)
+    else:
+        plan, perm = _plan_from_host(h)
+        col_p, a_p, t_p = permute_edge_data(
+            perm, np.asarray(col, np.int32), a_norm.astype(np.float32),
+            theta.astype(np.float32))
+        out = MagneticTemplate(
+            a_norm=jnp.asarray(a_p), theta=jnp.asarray(t_p), row=None,
+            col=jnp.asarray(col_p), num_nodes=num_nodes, mode="mxu",
+            plan=plan, transposed=None, hot_ids=hot_ids)
+    if t_fut is not None:
+        out = out.replace(transposed=t_fut.result())
+        ex.shutdown()
+    return out
 
 
 def magnetic_template(
