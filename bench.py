@@ -253,6 +253,167 @@ def bench_sgcn(n, e_pos, e_neg, steps):
           f"N={n}, E={m} signed, 2 layers")
 
 
+def bench_digrac(n, e, k, steps):
+    """DIGRAC clustering: DIMPA trunk + probabilistic imbalance loss —
+    a different hot loop from the conv benches (the P^T A P pairwise-flow
+    matmul chain dominates alongside the propagator applies).
+
+    Roofline note: per step the path does 4·hop propagator applies over
+    [N, hidden] (DIMPA source/target stacks, fwd+bwd) plus the imbalance
+    loss's A·P and A^T·P over [N, K] — all gather-bound on the mxu tier,
+    so the edges/s ceiling is the same ~row-gather floor as MagNet's
+    (scripts/roofline_accounting.py), reached within ~1.3x here.
+    """
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        in_out_degree, norm_propagator, rw_norm_propagator)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        DIGRAC_node_clustering)
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        Prob_Imbalance_Loss)
+
+    rng = np.random.default_rng(0)
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = np.ones(e, np.float32)
+    x = in_out_degree(ei, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    imb = Prob_Imbalance_Loss(k)
+
+    def build(mode):
+        P_s = rw_norm_propagator(ei, w, n, mode=mode)
+        P_t = rw_norm_propagator(ei[[1, 0]], w, n, mode=mode)
+        # raw adjacency + transpose for the imbalance volumes
+        P_A = norm_propagator(ei[[1, 0]], w, n, mode=mode)
+        P_AT = norm_propagator(ei, w, n, mode=mode)
+        model = DIGRAC_node_clustering(num_features=int(x.shape[1]),
+                                       hidden=32, nclass=k,
+                                       fill_value=0.5, hop=2)
+
+        def loss_fn(p, aux):
+            P_s, P_t, x = aux
+            _, _, _, prob = model.apply(p, P_s, P_t, x)
+            return imb(prob, (P_A, P_AT), k, "vol_sum", "sort")
+
+        params = model.init(jax.random.PRNGKey(0), P_s, P_t, x)
+        return loss_fn, params, (P_s, P_t, x)
+
+    loss_fn, params, aux = build("auto")
+    run, st = _train_scanner(loss_fn, params, steps, aux=aux)
+    dt = _sync_time(run, *st, steps=steps)
+    loss_b, params_b, aux_b = build("segment")
+    run_b, st_b = _train_scanner(loss_b, params_b, steps, aux=aux_b)
+    dt_b = _sync_time(run_b, *st_b, steps=steps)
+    _emit("digrac_imbalance_train_edges_per_s_per_chip", e, dt, dt_b,
+          f"N={n}, E={e}, K={k}, hop=2, imbalance loss")
+
+
+def bench_sssnet(n, e_pos, e_neg, k, steps):
+    """SSSNET clustering: SIMPA trunk + probabilistic balanced-normalized
+    cut loss (the signed analogue of DIGRAC's flow loss).
+
+    Roofline note: SIMPA's hop² enemy terms make this the most
+    propagator-apply-dense model in the zoo (O(hop²) applies per layer);
+    with the cut loss's D_p-(A_p-A_n) and D_bar operators the step is
+    gather-bound like the rest of the sparse tier.
+    """
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        in_out_degree, rw_norm_propagator)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        SSSNET_node_clustering)
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        Prob_Balanced_Normalized_Loss)
+
+    rng = np.random.default_rng(0)
+    m = e_pos + e_neg
+    ei = np.vstack([rng.integers(0, n, m), rng.integers(0, n, m)])
+    sign = np.concatenate([np.ones(e_pos), -np.ones(e_neg)]).astype(
+        np.float32)
+    ei_p, ei_n = ei[:, sign > 0], ei[:, sign < 0]
+    w_p, w_n = sign[sign > 0], -sign[sign < 0]
+    A_p = sp.csr_matrix((w_p, (ei_p[0], ei_p[1])), shape=(n, n))
+    A_n = sp.csr_matrix((w_n, (ei_n[0], ei_n[1])), shape=(n, n))
+    x = in_out_degree(ei, n, signed=True, edge_weight=sign)
+    x = jnp.asarray(np.asarray(x, np.float32)
+                    / max(float(np.abs(x).max()), 1.0))
+
+    def build(mode):
+        P_p = rw_norm_propagator(ei_p, w_p, n, fill_value=0.5, mode=mode)
+        P_n = rw_norm_propagator(ei_n, w_n, n, fill_value=0.0, mode=mode)
+        pbnc = Prob_Balanced_Normalized_Loss(A_p, A_n, mode=mode)
+        model = SSSNET_node_clustering(nfeat=int(x.shape[1]), hidden=16,
+                                       nclass=k, dropout=0.0, hop=2,
+                                       fill_value=0.5)
+
+        def loss_fn(p, aux):
+            P_p, P_n, x = aux
+            _, _, _, prob = model.apply(p, P_p, P_n, x)
+            return pbnc(prob)
+
+        params = model.init(jax.random.PRNGKey(0), P_p, P_n, x)
+        return loss_fn, params, (P_p, P_n, x)
+
+    loss_fn, params, aux = build("auto")
+    run, st = _train_scanner(loss_fn, params, steps, aux=aux)
+    dt = _sync_time(run, *st, steps=steps)
+    loss_b, params_b, aux_b = build("segment")
+    run_b, st_b = _train_scanner(loss_b, params_b, steps, aux=aux_b)
+    dt_b = _sync_time(run_b, *st_b, steps=steps)
+    _emit("sssnet_cut_train_edges_per_s_per_chip", m, dt, dt_b,
+          f"N={n}, E={m} signed, K={k}, hop=2, balanced cut loss")
+
+
+def bench_digcn(n, avg_deg, steps):
+    """DiGCN-inception throughput: three precomputed-adjacency convs per
+    block (appr, 2nd-order in/out) — the multi-operator directed path."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        in_out_degree, norm_propagator)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        DiGCN_Inception_Block_node_classification)
+
+    rng = np.random.default_rng(0)
+    e = n * avg_deg
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = np.ones(e, np.float32)
+    x = in_out_degree(ei, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    y = jnp.asarray(rng.integers(0, 5, n))
+
+    # At bench scale the exact appr builder is O(N^3) host work; the hot
+    # loop we're measuring is the on-device inception stack, so feed it
+    # same-sparsity normalized operators (appr view ~ A structure,
+    # 2nd-order view ~ A plus 2-hop sample at equal nnz).
+    ei2 = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+
+    def build(mode):
+        P1 = norm_propagator(ei, w, n, mode=mode)
+        P2 = norm_propagator(ei2, w, n, mode=mode)
+        model = DiGCN_Inception_Block_node_classification(
+            num_features=int(x.shape[1]), hidden=32, label_dim=5)
+
+        def loss_fn(p, aux):
+            x, P1, P2, y = aux
+            logp = model.apply(p, x, P1, P2)
+            return -jnp.mean(logp[jnp.arange(x.shape[0]), y])
+
+        params = model.init(jax.random.PRNGKey(0), x, P1, P2)
+        return loss_fn, params, (x, P1, P2, y)
+
+    loss_fn, params, aux = build("auto")
+    run, st = _train_scanner(loss_fn, params, steps, aux=aux)
+    dt = _sync_time(run, *st, steps=steps)
+    loss_b, params_b, aux_b = build("segment")
+    run_b, st_b = _train_scanner(loss_b, params_b, steps, aux=aux_b)
+    dt_b = _sync_time(run_b, *st_b, steps=steps)
+    _emit("digcn_inception_train_edges_per_s_per_chip", 2 * e, dt, dt_b,
+          f"N={n}, E={2 * e} (2 operators), inception block")
+
+
 def bench_giant(steps):
     """WikiTalk-scale power-law graph on the streamed mxu tier with the
     hot/cold column-split gather (full measurement incl. the unsplit
@@ -313,6 +474,9 @@ def main():
 
     bench_snea(n=16384, e_pos=400_000, e_neg=100_000, steps=30)
     bench_sgcn(n=131_072, e_pos=600_000, e_neg=120_000, steps=30)
+    bench_digrac(n=65_536, e=2_000_000, k=5, steps=30)
+    bench_sssnet(n=65_536, e_pos=1_600_000, e_neg=400_000, k=5, steps=30)
+    bench_digcn(n=65_536, avg_deg=15, steps=30)
     dt_mxu = bench_magnet(n=65_536, avg_deg=30, steps=30,
                           metric="magnet_mxu_train_edges_per_s_per_chip")
     bench_trainable_q_ratio(n=65_536, avg_deg=30, steps=30,
