@@ -637,22 +637,60 @@ def _bwd(plan, g):
 scatter_sum.defvjp(_fwd, _bwd)
 
 
+def _dual_bwd_math(lr_ref, va_ref, vb_ref, wa_ref, wb_ref, ge_ref, x_ref,
+                   *, window, fa, precision):
+    """Fused trainable-dual backward math: scatter + SDDMM off one one-hot.
+
+    Per chunk (plan order; padding edges have an all-zero one-hot column
+    and zero w) computes the increments
+
+        d_out[window] = onehot @ (ge * valsel)        (d x of the apply)
+        d_acc[1, 2F]  = sum_e x[row_e] * ge[e] * wsel  (d q partials)
+
+    where valsel/wsel select the a/b lane halves.  The dq contraction is
+    regrouped by destination row — sum_e x[row_e]*(ge*wsel)[e] =
+    sum_row x[row] * scatter(ge*wsel)[row] — so both results ride ONE
+    one-hot MXU dot of width 2*f2 (full 128-lane utilization at f2 = 64,
+    where two separate f2-wide dots each waste half the systolic array),
+    followed by a [window, f2] multiply with the resident x block.  The
+    whole trainable backward thus costs one row gather (the caller's
+    ge = g[col]) plus one full-width MXU pass — at f2 <= 64 the same MXU
+    cycles as the frozen backward's half-width pass.  Wider f2 falls back
+    to two dots (a fused dot would need > 256 lanes).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
+    onehot = jnp.concatenate(
+        [(rows == lr_ref[a][None, :]).astype(ge_ref.dtype)
+         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
+    f2 = ge_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, f2), 1)
+    valsel = jnp.concatenate(
+        [jnp.where(lanes < fa, va_ref[a][:, None], vb_ref[a][:, None])
+         for a in range(va_ref.shape[0])], axis=0)    # [chunk, 2F]
+    wsel = jnp.concatenate(
+        [jnp.where(lanes < fa, wa_ref[a][:, None], wb_ref[a][:, None])
+         for a in range(wa_ref.shape[0])], axis=0)
+    ge = ge_ref[...].astype(jnp.float32)
+    x_win = x_ref[...].astype(jnp.float32)
+    if f2 <= 128:
+        both = jnp.concatenate(
+            [ge * valsel, ge * wsel], axis=1).astype(ge_ref.dtype)
+        r = jnp.dot(onehot, both, preferred_element_type=jnp.float32,
+                    precision=precision)               # [window, 2*f2]
+        return r[:, :f2], jnp.sum(x_win * r[:, f2:], axis=0,
+                                  keepdims=True)
+    msgs = (ge * valsel).astype(ge_ref.dtype)
+    d_out = jnp.dot(onehot, msgs, preferred_element_type=jnp.float32,
+                    precision=precision)
+    dqm = jnp.dot(onehot, (ge * wsel).astype(ge_ref.dtype),
+                  preferred_element_type=jnp.float32, precision=precision)
+    return d_out, jnp.sum(x_win * dqm, axis=0, keepdims=True)
+
+
 def _dual_bwd_kernel(win_ref, lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
                      ge_ref, x_ref, out_ref, acc_ref, *, window, fa,
                      precision):
-    """Fused trainable-dual backward step: scatter + SDDMM off one one-hot.
-
-    Per chunk (plan order; padding edges have an all-zero one-hot column
-    and zero w):
-
-        out[window]  += onehot @ (ge * valsel)        (d x of the apply)
-        acc[1, 2F]   += sum_e x[row_e] * ge[e] * wsel  (d q partials)
-
-    where valsel/wsel select the a/b lane halves.  x[row_e] is the
-    transposed one-hot MXU product against the chunk's resident x window
-    — the whole trainable backward costs ONE row gather (the caller's
-    ge = g[col]), same as the frozen backward, plus MXU work.
-    """
+    """Fused trainable-dual backward step (see _dual_bwd_math)."""
     i = pl.program_id(0)
     prev = win_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, win_ref[i] != prev)
@@ -665,30 +703,11 @@ def _dual_bwd_kernel(win_ref, lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
-    onehot = jnp.concatenate(
-        [(rows == lr_ref[a][None, :]).astype(ge_ref.dtype)
-         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
-    f2 = ge_ref.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, f2), 1)
-    valsel = jnp.concatenate(
-        [jnp.where(lanes < fa, va_ref[a][:, None], vb_ref[a][:, None])
-         for a in range(va_ref.shape[0])], axis=0)    # [chunk, 2F]
-    ge = ge_ref[...].astype(jnp.float32)
-    msgs = (ge * valsel).astype(ge_ref.dtype)
-    out_ref[...] += jnp.dot(onehot, msgs,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-    # xe[c, f] = x[row_c, f] via the transposed contraction of the same
-    # one-hot (contract dim 0 of both operands)
-    xe = jax.lax.dot_general(
-        onehot, x_ref[...].astype(ge_ref.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    wsel = jnp.concatenate(
-        [jnp.where(lanes < fa, wa_ref[a][:, None], wb_ref[a][:, None])
-         for a in range(wa_ref.shape[0])], axis=0)
-    acc_ref[...] += jnp.sum(xe * ge * wsel, axis=0, keepdims=True)
+    d_out, d_acc = _dual_bwd_math(lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
+                                  ge_ref, x_ref, window=window, fa=fa,
+                                  precision=precision)
+    out_ref[...] += d_out
+    acc_ref[...] += d_acc
 
 
 @functools.partial(jax.jit,
@@ -727,6 +746,11 @@ def _dual_bwd_matmul(win, local_rows, va, vb, wa, wb, ge, x_pad,
             jax.ShapeDtypeStruct((num_windows * window, f2), jnp.float32),
             jax.ShapeDtypeStruct((1, f2), jnp.float32),
         ],
+        # the fused scatter+SDDMM working set (one-hot + 2F-wide message
+        # block + value selections) exceeds Mosaic's 16MB default scoped
+        # budget at the large-window geometries; v5e has 128MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * num_chunks * chunk * window * f2,
             bytes_accessed=2 * ge.size * ge.dtype.itemsize
@@ -787,28 +811,11 @@ def _dual_bwd_kernel_accum(win_ref, lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
     def _():
         acc_ref[...] = acc_in_ref[...]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
-    onehot = jnp.concatenate(
-        [(rows == lr_ref[a][None, :]).astype(ge_ref.dtype)
-         for a in range(lr_ref.shape[0])], axis=1)    # [window, chunk]
-    f2 = ge_ref.shape[1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (SUB, f2), 1)
-    valsel = jnp.concatenate(
-        [jnp.where(lanes < fa, va_ref[a][:, None], vb_ref[a][:, None])
-         for a in range(va_ref.shape[0])], axis=0)    # [chunk, 2F]
-    ge = ge_ref[...].astype(jnp.float32)
-    msgs = (ge * valsel).astype(ge_ref.dtype)
-    out_ref[...] += jnp.dot(onehot, msgs,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
-    xe = jax.lax.dot_general(
-        onehot, x_ref[...].astype(ge_ref.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision)
-    wsel = jnp.concatenate(
-        [jnp.where(lanes < fa, wa_ref[a][:, None], wb_ref[a][:, None])
-         for a in range(wa_ref.shape[0])], axis=0)
-    acc_ref[...] += jnp.sum(xe * ge * wsel, axis=0, keepdims=True)
+    d_out, d_acc = _dual_bwd_math(lr_ref, va_ref, vb_ref, wa_ref, wb_ref,
+                                  ge_ref, x_ref, window=window, fa=fa,
+                                  precision=precision)
+    out_ref[...] += d_out
+    acc_ref[...] += d_acc
 
 
 @functools.partial(jax.jit,
@@ -851,6 +858,8 @@ def _dual_bwd_accum(win, local_rows, va, vb, wa, wb, ge, x_pad, out, acc,
             jax.ShapeDtypeStruct(out.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, f2), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         input_output_aliases={8: 0, 9: 1},
         cost_estimate=pl.CostEstimate(
             flops=4 * num_chunks * chunk * window * f2,

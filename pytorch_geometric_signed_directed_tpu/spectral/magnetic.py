@@ -504,113 +504,128 @@ def template_dual_apply(tmpl: MagneticTemplate, q, x: jnp.ndarray):
     return _template_dual_apply_mxu(tmpl, q, x)
 
 
+# widest message row the scatter kernels take in one pass (Mosaic lane
+# limit); beyond it the pair forward falls back to two passes
+_PAIR_MAX_LANES = 256
+
+
+def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
+    """(L(q) x, L'(q) x) stacked through ONE widened scatter pass.
+
+    q is a SCALAR, so its directional derivative is free to carry
+    forward: the pass gathers the [E2, 2F] x rows once and scatters
+    [x_e * val_e | x_e * dval_e] — 4F lanes, the same MXU cycles as the
+    2F-lane frozen pass (the systolic array is 128 lanes wide either
+    way) and no extra gather.  Widths beyond _PAIR_MAX_LANES run as two
+    passes.  Returns (y [N, 2F] in x.dtype, y' [N, 2F] f32).
+    """
+    from ..ops.spmm import get_matmul_precision, get_message_dtype
+
+    fa = x.shape[1] // 2
+    f2 = 2 * fa
+    lane = jnp.arange(f2) < fa
+    mdt = get_message_dtype() or x.dtype
+    xg = x.astype(mdt)
+    x_hot = xg[tmpl.hot_ids] if tmpl.hot_ids is not None else None
+    two_pi_q = 2.0 * jnp.pi * q
+    fused = 2 * f2 <= _PAIR_MAX_LANES
+
+    def halves(a, th, which):
+        ang = two_pi_q * th
+        scale = 2.0 * jnp.pi * th * a
+        out = []
+        if which in ("vals", "both"):
+            out.append((-a * jnp.cos(ang), a * jnp.sin(ang)))
+        if which in ("derivs", "both"):
+            out.append((scale * jnp.sin(ang), scale * jnp.cos(ang)))
+        return out
+
+    def msgs(g, a, th, which):
+        parts = [
+            g * jnp.where(lane[None, :], va[:, None], vb[:, None])
+            for va, vb in halves(a, th, which)
+        ]
+        m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        return m.astype(mdt)
+
+    def one_pass(which, width):
+        if tmpl.stream is not None:
+            from ..ops.pallas.scatter_mxu import streamed_scatter
+
+            return streamed_scatter(
+                tmpl.stream, tmpl.col,
+                lambda g, i: msgs(g, tmpl.a_norm[i], tmpl.theta[i], which),
+                xg, width, get_matmul_precision(), x_hot=x_hot)
+        if x_hot is not None:
+            from ..ops.pallas.scatter_mxu import split_scatter_accum
+
+            return split_scatter_accum(
+                tmpl.plan, tmpl.col,
+                lambda g, lo, hi: msgs(g, tmpl.a_norm[lo:hi],
+                                       tmpl.theta[lo:hi], which),
+                xg, x_hot, width, get_matmul_precision())
+        from ..ops.pallas.scatter_mxu import scatter_sum
+
+        return scatter_sum(tmpl.plan,
+                           msgs(xg[tmpl.col], tmpl.a_norm, tmpl.theta,
+                                which))
+
+    if fused:
+        out = one_pass("both", 2 * f2)
+        return out[:, :f2].astype(x.dtype), out[:, f2:]
+    y = one_pass("vals", f2)
+    yp = one_pass("derivs", f2)
+    return y.astype(x.dtype), yp
+
+
 @jax.custom_vjp
 def _template_dual_apply_mxu(tmpl: MagneticTemplate, q, x: jnp.ndarray):
     """[L_re x_a | L_im x_b] for a traced phase q on an mxu template
-    (flat or streamed — giant graphs train q through the same fused
-    backward, one stream block at a time).
+    (flat, streamed, or col-split).
 
     The hot path for trainable-q MagNet/MSGNN (reference rebuilds the
-    Laplacian on CPU each forward, MagNetConv.py:141-183).  Its custom
-    backward avoids all extra row gathers on top of the frozen-q cost:
+    Laplacian on CPU each forward, MagNetConv.py:141-183).  q is a scalar,
+    so its derivative is carried FORWARD: the differentiable forward also
+    scatters y' = L'(q) x through the same gather/one-hot pass (extra
+    lanes, not extra passes — see _template_pair_forward), and the
+    backward is then exactly the frozen backward plus one elementwise
+    contraction:
 
-      * dx rides the transposed-plan dual forward, whose own gather of
-        the cotangent is captured and reused,
-      * dq is a plan-order SDDMM against the x table, computed by
-        transposed one-hot MXU matmuls on the (row-window resident)
-        x blocks and contracted with d(val)/dq, fused into the same
-        pallas pass as the scatter
-        (ops.pallas.scatter_mxu.dual_scatter_sddmm).
+      * dq = <g, y'> — a [N, 2F] dot, no kernel at all,
+      * dx rides the plain transposed-plan dual forward — the identical
+        op the frozen path uses, so XLA dead-code-eliminates it wherever
+        the input cotangent is unused (e.g. the first conv layer, whose
+        input is data: the reverse-mode in-kernel SDDMM this replaces
+        could not be DCE'd and made layer-1 backwards cost like layer-2's).
 
     A naive autodiff of template_dual + a value-cotangent SpMM pays two
     additional [E2, 2F] gathers per apply (the XLA gather is row-rate
     bound); measured 4.1x the frozen train step at N=65k vs this way's
-    ~1.2x.
+    ~1.1x.
     """
     return _dual_forward_stacked(template_dual(tmpl, q), x)
 
 
 def _tda_fwd(tmpl, q, x):
-    return _template_dual_apply_mxu(tmpl, q, x), (tmpl, q, x)
+    y, yp = _template_pair_forward(tmpl, q, x)
+    return y, (tmpl, q, yp)
 
 
 def _tda_bwd(res, g):
-    from ..ops.pallas.scatter_mxu import dual_scatter_sddmm
-    from ..ops.spmm import get_message_dtype
-
-    tmpl, q, x = res
-    tt = tmpl.transposed
-    if tmpl.mode != "mxu" or tt is None:
+    tmpl, q, yp = res
+    if tmpl.mode != "mxu" or tmpl.transposed is None:
         raise ValueError("template_dual_apply backward needs an mxu "
                          "template with a transpose")
-    # branch on the TRANSPOSE's own layout — the whole backward runs on
-    # tt, and although magnetic templates are symmetric (fwd and
-    # transpose always pick identical plans), deriving the branch from
-    # tmpl would hard-crash if the two ever straddled the stream
-    # threshold independently
-    if tt.plan is None:
-        # streamed (giant-graph) template: same fused scatter+SDDMM, one
-        # block at a time through the aliased accumulate kernel
-        from ..ops.pallas.scatter_mxu import streamed_dual_scatter_sddmm
-
-        mdt = get_message_dtype() or g.dtype
-        two_pi_q = 2.0 * jnp.pi * q
-        fa = x.shape[1] // 2
-
-        def make_terms(ge, i):
-            a, th = tt.a_norm[i], tt.theta[i]
-            ang = two_pi_q * th
-            scale = 2.0 * jnp.pi * th * a
-            return (ge, -a * jnp.cos(ang), a * jnp.sin(ang),
-                    scale * jnp.sin(ang), scale * jnp.cos(ang))
-
-        g_hot = (g.astype(mdt)[tt.hot_ids]
-                 if tt.stream.hot_blocks else None)
-        dx, partials = streamed_dual_scatter_sddmm(
-            tt.stream, tt.col, make_terms, g.astype(mdt), x, fa,
-            g_hot=g_hot)
-        dq = partials.sum().astype(jnp.asarray(q).dtype)
-        zero = jax.tree.map(
-            lambda p: (jnp.zeros_like(p)
-                       if jnp.issubdtype(p.dtype, jnp.floating)
-                       else np.zeros(p.shape, jax.dtypes.float0)), tmpl)
-        return zero, dq, dx.astype(g.dtype)
-    # One row gather (same count as the frozen backward); everything else
-    # is MXU work in one fused kernel.  For t-plan edge ẽ = (col_e ->
-    # row_e) of original edge e, ge_t[ẽ] = g[row_e] and the t-plan row
-    # table gives x[col_e], so the in-kernel SDDMM contracts
-    # g[row_e]·x[col_e] with d(val)/dq per lane half.
-    # d(-a cos(ang))/dq = a sin(ang)·2πθ ; d(a sin(ang))/dq = a cos(ang)·2πθ
-    # (cos even / sin odd in θ: the same formulas hold in t order).
-    mdt = get_message_dtype() or g.dtype
-    ang_t = 2.0 * jnp.pi * q * tt.theta
-    scale = 2.0 * jnp.pi * tt.theta * tt.a_norm
-    re_t = -tt.a_norm * jnp.cos(ang_t)
-    im_t = tt.a_norm * jnp.sin(ang_t)
-    w_a = scale * jnp.sin(ang_t)
-    w_b = scale * jnp.cos(ang_t)
-    fa = x.shape[1] // 2
-    g_mdt = g.astype(mdt)
-    if tt.plan.hot_chunks:
-        # col-split transpose: the hot section's cotangent gathers from
-        # the compact g[hot_ids] table; two aliased fused passes
-        from ..ops.pallas.scatter_mxu import SUB, split_dual_scatter_sddmm
-
-        sub = tt.plan.local_rows.shape[0] // tt.plan.win.shape[0]
-        he = tt.plan.hot_chunks * sub * SUB
-        dx, partials = split_dual_scatter_sddmm(
-            tt.plan, g_mdt[tt.hot_ids][tt.col[:he]], g_mdt[tt.col[he:]],
-            re_t, im_t, w_a, w_b, x, fa)
-    else:
-        dx, partials = dual_scatter_sddmm(tt.plan, g_mdt[tt.col],
-                                          re_t, im_t, w_a, w_b, x, fa)
-    dx = dx.astype(g.dtype)
-    dq = partials.sum().astype(jnp.asarray(q).dtype)
+    dq = jnp.sum(g.astype(jnp.float32) * yp).astype(jnp.asarray(q).dtype)
+    # the frozen backward: plain transposed dual apply of the cotangent
+    # (template_dual's forward-direction values are dead code here and
+    # XLA removes them; so is this whole apply when dx itself is unused)
+    dx = _dual_forward_stacked(template_dual(tmpl, q).transposed, g)
     zero = jax.tree.map(
         lambda p: (jnp.zeros_like(p)
                    if jnp.issubdtype(p.dtype, jnp.floating)
                    else np.zeros(p.shape, jax.dtypes.float0)), tmpl)
-    return zero, dq, dx
+    return zero, dq, dx.astype(g.dtype)
 
 
 _template_dual_apply_mxu.defvjp(_tda_fwd, _tda_bwd)

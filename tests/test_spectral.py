@@ -383,6 +383,41 @@ class TestMxuTemplate:
               - float(f_fused(q0 - eps, x))) / (2 * eps)
         assert abs(float(dq_a) - fd) / (abs(fd) + 1e-6) < 2e-2, (dq_a, fd)
 
+    def test_template_dual_apply_fused_vjp_wide(self):
+        """Wide features (2F > 128 lanes): the fused backward's two-dot
+        fallback branch matches the generic value-cotangent path."""
+        import jax
+        import jax.numpy as jnp
+        from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+            dual_spmm_stacked_trainable)
+        from pytorch_geometric_signed_directed_tpu.spectral import (
+            magnetic_template, template_dual, template_dual_apply)
+
+        n = 256
+        ei, w = self._graph(n, seed=12)
+        tmpl = magnetic_template(ei, w, num_nodes=n, mode="mxu")
+        rng = np.random.default_rng(6)
+        f2 = 144  # fa = 72 per lane half -> exceeds the 128-lane fused dot
+        x = jnp.asarray(rng.standard_normal((n, f2)).astype(np.float32))
+        g_out = jnp.asarray(rng.standard_normal((n, f2)).astype(np.float32))
+
+        def f_fused(q, x):
+            return (template_dual_apply(tmpl, q, x) * g_out).sum()
+
+        def f_generic(q, x):
+            D = template_dual(tmpl, q)
+            return (dual_spmm_stacked_trainable(D, x) * g_out).sum()
+
+        q0 = 0.21
+        np.testing.assert_allclose(float(f_fused(q0, x)),
+                                   float(f_generic(q0, x)), rtol=1e-5)
+        dq_a, dx_a = jax.jit(jax.grad(f_fused, argnums=(0, 1)))(q0, x)
+        dq_b, dx_b = jax.jit(jax.grad(f_generic, argnums=(0, 1)))(q0, x)
+        np.testing.assert_allclose(np.asarray(dx_a), np.asarray(dx_b),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(dq_a), float(dq_b),
+                                   rtol=1e-3, atol=1e-5)
+
     def test_trainable_q_magnet_model_mxu(self):
         import jax
         import jax.numpy as jnp
