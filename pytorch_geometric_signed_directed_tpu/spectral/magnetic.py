@@ -337,27 +337,36 @@ class MagneticTemplate:
 
 def _mxu_template(row, col, a_norm, theta, num_nodes: int,
                   with_transpose: bool = True) -> MagneticTemplate:
-    from ..ops.pallas.scatter_mxu import (
-        STREAM_BLOCK_EDGES,
-        STREAM_THRESHOLD_EDGES,
-        _build_plan_host,
-        _plan_from_host,
-        _stream_from_host,
-        col_degree_split,
-        permute_edge_data,
-    )
-
     # The transposed structure carries the ORIGINAL per-edge values (see
     # class docstring for why the formulas then transpose correctly).
     # Its plan build is independent of the forward's, so overlap the two
     # in a worker thread (same tail-shaving as ops.spmm.dual_propagator).
-    t_fut = None
+    t_fut = ex = None
     if with_transpose:
         from concurrent.futures import ThreadPoolExecutor
 
         ex = ThreadPoolExecutor(max_workers=1)
         t_fut = ex.submit(_mxu_template, col, row, a_norm, theta,
                           num_nodes, False)
+
+    try:
+        return _mxu_template_body(row, col, a_norm, theta, num_nodes,
+                                  t_fut)
+    finally:
+        if ex is not None:
+            ex.shutdown()
+
+
+def _mxu_template_body(row, col, a_norm, theta, num_nodes, t_fut):
+    from ..ops.pallas.scatter_mxu import (
+        STREAM_THRESHOLD_EDGES,
+        STREAM_BLOCK_EDGES,
+        _build_plan_host,
+        _plan_from_host,
+        _stream_from_host,
+        col_degree_split,
+        permute_edge_data,
+    )
 
     split = col_degree_split(col, num_nodes)
     grp, hot_ids = None, None
@@ -387,7 +396,6 @@ def _mxu_template(row, col, a_norm, theta, num_nodes: int,
             plan=plan, transposed=None, hot_ids=hot_ids)
     if t_fut is not None:
         out = out.replace(transposed=t_fut.result())
-        ex.shutdown()
     return out
 
 
@@ -526,9 +534,19 @@ def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
     lane = jnp.arange(f2) < fa
     mdt = get_message_dtype() or x.dtype
     xg = x.astype(mdt)
-    x_hot = xg[tmpl.hot_ids] if tmpl.hot_ids is not None else None
     two_pi_q = 2.0 * jnp.pi * q
     fused = 2 * f2 <= _PAIR_MAX_LANES
+    # Fused layout: the gather table's lanes are DUPLICATED ([x | x],
+    # 4F lanes) so the message build is one elementwise quadrant-select.
+    # The row gather is row-rate-bound (width free up to 128 lanes,
+    # PERF.md fact 1), so the doubled gather costs nothing, while the
+    # previous two-part build + lane-concat on the [E2, 4F] stream cost
+    # ~5 ms per apply at the bench config (scripts/ab_pair_msgs.py:
+    # 22.6 -> 17.8 ms, bit-identical output).
+    if fused:
+        xg = jnp.concatenate([xg, xg], axis=1)
+    x_hot = xg[tmpl.hot_ids] if tmpl.hot_ids is not None else None
+    lane4 = jnp.arange(2 * f2)
 
     def halves(a, th, which):
         ang = two_pi_q * th
@@ -541,11 +559,16 @@ def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
         return out
 
     def msgs(g, a, th, which):
-        parts = [
-            g * jnp.where(lane[None, :], va[:, None], vb[:, None])
-            for va, vb in halves(a, th, which)
-        ]
-        m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if which == "both":
+            (va, vb), (wa, wb) = halves(a, th, "both")
+            sel = jnp.where(
+                lane4[None, :] < fa, va[:, None],
+                jnp.where(lane4[None, :] < f2, vb[:, None],
+                          jnp.where(lane4[None, :] < f2 + fa, wa[:, None],
+                                    wb[:, None])))
+            return (g * sel).astype(mdt)
+        ((va, vb),) = halves(a, th, which)
+        m = g * jnp.where(lane[None, :], va[:, None], vb[:, None])
         return m.astype(mdt)
 
     def one_pass(which, width):

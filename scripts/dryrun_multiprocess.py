@@ -1,0 +1,193 @@
+"""Cross-process (multi-host mechanics) dry run — VERDICT r3 item 2.
+
+Everything multi-device so far (tests, dryrun_multichip) runs in ONE
+process with 8 virtual CPU devices.  This script executes the actual
+multi-host code path: 2 OS processes x 4 virtual CPU devices each,
+joined by `jax.distributed.initialize` into one 8-device global mesh
+(gloo-backed CPU collectives — the DCN stand-in available in this
+image), running the SAME sharded MagNet train steps as dryrun_multichip
+phase 2 (frozen mxu tier) and phase 4 (trainable-q sharded template):
+global arrays span process boundaries, every collective crosses them.
+
+Parity: process 0 of the 2-process run reports (loss, global param
+norm) after one optimizer step; the launcher compares against an
+identical single-process 8-device run.  |dloss| must match to ~1e-6 —
+the math is device-count invariant, so only the cross-process
+mechanics are under test.
+
+Run: python scripts/dryrun_multiprocess.py
+(workers are launched internally; results land in PERF.md's table)
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+COORD_PORT = 49731
+
+
+def build_problem():
+    """Deterministic flagship problem (mirrors __graft_entry__ phases 2/4)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.data import DSBM
+    from pytorch_geometric_signed_directed_tpu.graph import in_out_degree
+    from pytorch_geometric_signed_directed_tpu.spectral import (
+        magnet_propagators, magnetic_template)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        MagNet_node_classification)
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        meta_graph_generation)
+
+    n = 512
+    F = meta_graph_generation("cyclic", 3, 0.05, False)
+    A, labels = DSBM(n, 3, 0.3, F, rng=np.random.default_rng(1))
+    edge_index = np.vstack(A.nonzero())
+    w = A.tocoo().data
+    x = in_out_degree(edge_index, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    y = jnp.asarray(labels)
+    lap = magnet_propagators(edge_index, w, q=0.25, num_nodes=n, mode="mxu")
+    tmpl = magnetic_template(edge_index, w, num_nodes=n, mode="mxu")
+    model = MagNet_node_classification(
+        num_features=2, hidden=16, K=2, label_dim=3, activation=True,
+        layer=2)
+    model_q = MagNet_node_classification(
+        num_features=2, hidden=16, K=2, label_dim=3, trainable_q=True,
+        q=0.25, activation=True, layer=2)
+    params = model.init(jax.random.PRNGKey(2), x, x, lap)
+    params_q = model_q.init(jax.random.PRNGKey(3), x, x, tmpl)
+    return model, model_q, params, params_q, x, y, lap, tmpl, n
+
+
+def run_steps(sharded: bool):
+    """One Adam step of the frozen-mxu and trainable-q models; returns
+    [(loss, norm), (loss, norm)]."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pytorch_geometric_signed_directed_tpu.parallel import (
+        make_mesh, shard_magnet_laplacian)
+
+    model, model_q, params, params_q, x, y, lap, tmpl, n = build_problem()
+    tx = optax.adam(1e-2)
+
+    if sharded:
+        mesh = make_mesh(len(jax.devices()), axis_names=("graph",))
+        lap = shard_magnet_laplacian(lap, mesh, axis="graph")
+        tmpl = shard_magnet_laplacian(tmpl, mesh, axis="graph")
+        assert lap.dual.mode == "mxu_sharded" and tmpl.mode == "mxu_sharded"
+
+    out = []
+    for mdl, p0, op in ((model, params, lap), (model_q, params_q, tmpl)):
+        # the operator must be a jit ARGUMENT: in multi-process runs its
+        # arrays span non-addressable devices and cannot be closure
+        # constants
+        @jax.jit
+        def step(p, s, op_):
+            def loss_fn(pp):
+                logp = mdl.apply(pp, x, x, op_)
+                return -jnp.mean(logp[jnp.arange(n), y])
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, s = tx.update(grads, s)
+            return optax.apply_updates(p, updates), s, loss
+
+        p1, _, loss = step(p0, tx.init(p0), op)
+        out.append((float(loss), float(optax.global_norm(p1))))
+    return out
+
+
+def worker(pid: int, nprocs: int, out_path: str):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{COORD_PORT}",
+        num_processes=nprocs, process_id=pid)
+    assert len(jax.devices()) == 8, jax.devices()
+    assert jax.process_count() == nprocs
+    results = run_steps(sharded=True)
+    if pid == 0:
+        with open(out_path, "w") as f:
+            json.dump(results, f)
+    jax.distributed.shutdown()
+
+
+def single(out_path: str):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    results = run_steps(sharded=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+
+
+def launch():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    with tempfile.TemporaryDirectory() as td:
+        ref = os.path.join(td, "single.json")
+        env1 = dict(env)
+        env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        subprocess.run(
+            [sys.executable, __file__, "--single", "--out", ref],
+            env=env1, check=True, cwd=REPO, timeout=1200)
+
+        out = os.path.join(td, "multi.json")
+        env2 = dict(env)
+        env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--worker", str(i),
+                 "--nprocs", "2", "--out", out],
+                env=env2, cwd=REPO)
+            for i in range(2)
+        ]
+        rcs = [p.wait(timeout=1200) for p in procs]
+        assert rcs == [0, 0], rcs
+
+        with open(ref) as f:
+            rs = json.load(f)
+        with open(out) as f:
+            rm = json.load(f)
+
+    names = ["frozen mxu tier", "trainable-q template"]
+    ok = True
+    for name, (ls, ns), (lm, nm) in zip(names, rs, rm):
+        dl, dn = abs(ls - lm), abs(ns - nm)
+        good = dl < 2e-5 and dn < 2e-4
+        ok &= good
+        print(f"multiprocess {name}: 1-proc loss={ls:.6f} "
+              f"2-proc loss={lm:.6f} |dloss|={dl:.2e} |dnorm|={dn:.2e} "
+              f"{'OK' if good else 'FAIL'}")
+    print(json.dumps({"multiprocess_ok": ok, "phases": names,
+                      "single": rs, "multi": rm}))
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--nprocs", type=int, default=2)
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    if a.worker is not None:
+        worker(a.worker, a.nprocs, a.out)
+    elif a.single:
+        single(a.out)
+    else:
+        sys.exit(launch())
+
+
+if __name__ == "__main__":
+    main()

@@ -522,3 +522,23 @@ def test_sharded_trainable_q_magnet_model():
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_multiprocess_parity():
+    """Cross-process mechanics (VERDICT r3 item 2): 2 OS processes x 4
+    devices vs 1 process x 8 — scripts/dryrun_multiprocess.py asserts
+    loss/param-norm parity for the frozen mxu and trainable-q steps."""
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS",)}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "dryrun_multiprocess.py")],
+        env=env, cwd=repo, timeout=1500, capture_output=True, text=True)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert '"multiprocess_ok": true' in r.stdout

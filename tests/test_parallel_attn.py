@@ -231,3 +231,109 @@ def test_sharded_digrac_model_fwd_and_grad(mesh):
     with mesh:
         gsh = jax.jit(jax.grad(scalar))(params, Ss, Ts, x)
     _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_sharded_sigat_model_fwd_and_grad(mesh, signed_graph):
+    """Full 38-motif-graph SiGAT forward + loss grad, sharded vs single
+    (VERDICT r3 item 4; reference nn/signed/SiGAT.py:186-203)."""
+    from pytorch_geometric_signed_directed_tpu.nn import SiGAT
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sigat import (
+        prepare_sigat_inputs,
+    )
+
+    _, edge_index_s = signed_graph
+    pos_ei, neg_ei, init_emb, graphs = prepare_sigat_inputs(
+        N, edge_index_s, in_dim=8)
+    assert len(graphs) == 38
+    model = SiGAT(node_num=N, in_dim=8, out_dim=8, init_emb=init_emb)
+    params = model.init(jax.random.PRNGKey(0), graphs)
+    sgraphs = shard_attention_graphs(graphs, mesh)
+
+    ref = model.apply(params, graphs)
+    with mesh:
+        out = jax.jit(lambda p, g: model.apply(p, g))(params, sgraphs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def scalar(p, g):
+        return model.apply(p, g, pos_ei, neg_ei, method=SiGAT.loss)
+
+    gref = jax.grad(scalar)(params, graphs)
+    with mesh:
+        gsh = jax.jit(jax.grad(scalar))(params, sgraphs)
+    _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_sharded_sdgnn_model_fwd_and_grad(mesh, signed_graph):
+    """2-layer SDGNN SDRLayer stack + full (sign+direction+triangle)
+    loss grad, sharded vs single (reference nn/signed/SDGNN.py:13-64)."""
+    from pytorch_geometric_signed_directed_tpu.nn import SDGNN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sdgnn import (
+        prepare_sdgnn_inputs,
+    )
+
+    _, edge_index_s = signed_graph
+    pos_ei, neg_ei, init_emb, graphs, w_pos, w_neg = prepare_sdgnn_inputs(
+        N, edge_index_s, in_dim=8)
+    model = SDGNN(node_num=N, in_dim=8, out_dim=8, layer_num=2,
+                  init_emb=init_emb)
+    params = model.init(jax.random.PRNGKey(0), graphs, pos_ei, neg_ei,
+                        w_pos, w_neg, method=SDGNN.loss)
+    sgraphs = shard_attention_graphs(graphs, mesh)
+
+    ref = model.apply(params, graphs)
+    with mesh:
+        out = jax.jit(lambda p, g: model.apply(p, g))(params, sgraphs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    def scalar(p, g):
+        return model.apply(p, g, pos_ei, neg_ei, w_pos, w_neg,
+                           method=SDGNN.loss)
+
+    gref = jax.grad(scalar)(params, graphs)
+    with mesh:
+        gsh = jax.jit(jax.grad(scalar))(params, sgraphs)
+    _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_digcl_loss_step(mesh):
+    """DiGCL contrastive loss on sharded mxu propagators vs single
+    (reference nn/directed/DiGCL.py:60-199)."""
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        gcn_norm_propagator,
+    )
+    from pytorch_geometric_signed_directed_tpu.nn import DiGCL
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, N, 700)
+    dst = rng.integers(0, N, 700)
+    keep = src != dst
+    ei = np.vstack([src[keep], dst[keep]])
+    w = rng.uniform(0.5, 1.5, ei.shape[1])
+    x = jnp.asarray(rng.standard_normal((N, 12)).astype(np.float32))
+    P1 = gcn_norm_propagator(ei, w, N, mode="mxu")
+    P2 = gcn_norm_propagator(ei[[1, 0]], w, N, mode="mxu")
+    model = DiGCL(in_channels=12, activation="relu", num_hidden=8,
+                  num_proj_hidden=8, tau=0.4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), x, P1,
+                        method=DiGCL.warmup)
+
+    def contrastive(p, Pa, Pb):
+        z1 = model.apply(p, x, Pa)
+        z2 = model.apply(p, x, Pb)
+        return model.apply(p, z1, z2, method=DiGCL.loss)
+
+    ref = contrastive(params, P1, P2)
+    S1, S2 = shard_propagator(P1, mesh), shard_propagator(P2, mesh)
+    with mesh:
+        out = jax.jit(contrastive)(params, S1, S2)
+    np.testing.assert_allclose(float(out), float(ref), rtol=2e-4,
+                               atol=2e-4)
+
+    gref = jax.grad(contrastive)(params, P1, P2)
+    with mesh:
+        gsh = jax.jit(jax.grad(contrastive))(params, S1, S2)
+    _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
