@@ -170,7 +170,8 @@ def bench_trainable_q_ratio(n, avg_deg, steps, dt_frozen):
 # ---------------------------------------------------------------------------
 # SNEA attention path
 
-def bench_snea(n, e_pos, e_neg, steps):
+def bench_snea(n, e_pos, e_neg, steps,
+               metric="snea_attention_train_edges_per_s_per_chip"):
     import jax
     import jax.numpy as jnp
     from pytorch_geometric_signed_directed_tpu.nn import SNEA
@@ -210,8 +211,7 @@ def bench_snea(n, e_pos, e_neg, steps):
         dt_b = _sync_time(run_b, *st_b, steps=steps)
     finally:
         snea_conv.attention_softmax_aggregate = orig
-    _emit("snea_attention_train_edges_per_s_per_chip", e, dt, dt_b,
-          f"N={n}, E={e} (3 attn graphs), 2 layers")
+    _emit(metric, e, dt, dt_b, f"N={n}, E={e} (3 attn graphs), 2 layers")
 
 
 # ---------------------------------------------------------------------------
@@ -473,6 +473,12 @@ def main():
     set_message_dtype("bf16")
 
     bench_snea(n=16384, e_pos=400_000, e_neg=100_000, steps=30)
+    # epinions scale — the reference's largest signed workload
+    # (docs/source/notes/datasets.rst: N=131,580, 589,888 pos / 121,322
+    # neg edges); exercises the attention gather tables at the edge of
+    # the ~192-256k-row gather cliff (PERF.md facts 1-3)
+    bench_snea(n=131_580, e_pos=589_888, e_neg=121_322, steps=30,
+               metric="snea_attention_epinions_scale_train_edges_per_s_per_chip")
     bench_sgcn(n=131_072, e_pos=600_000, e_neg=120_000, steps=30)
     bench_digrac(n=65_536, e=2_000_000, k=5, steps=30)
     bench_sssnet(n=65_536, e_pos=1_600_000, e_neg=400_000, k=5, steps=30)

@@ -532,11 +532,13 @@ def _scatter_matmul(win, local_rows, msgs, num_windows: int,
             bytes_accessed=msgs.size * 4 + num_windows * window * f * 4,
             transcendentals=0,
         ),
-        # fused template paths push msgs up to 4F wide (256 lanes);
-        # match the dual-backward kernels' scoped-VMEM headroom so the
-        # widest geometry doesn't trip Mosaic's 16MB default
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        # fused template paths push msgs past 128 lanes (up to 256);
+        # only then raise the scoped-VMEM cap like the dual-backward
+        # kernels (an unconditional bump measurably slowed the streamed
+        # giant-graph geometry: Mosaic schedules differently under the
+        # larger budget)
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if f > 128 else None),
         interpret=interpret,
     )(win, local_rows, msgs)
 
@@ -595,8 +597,8 @@ def _scatter_accum(win, local_rows, msgs, out, window: int = WINDOW,
                            + num_chunks * window * f * 8,
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if f > 128 else None),
         interpret=interpret,
     )(win, local_rows, msgs, out)
 

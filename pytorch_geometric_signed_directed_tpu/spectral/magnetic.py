@@ -536,14 +536,17 @@ def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
     xg = x.astype(mdt)
     two_pi_q = 2.0 * jnp.pi * q
     fused = 2 * f2 <= _PAIR_MAX_LANES
-    # Fused layout: the gather table's lanes are DUPLICATED ([x | x],
-    # 4F lanes) so the message build is one elementwise quadrant-select.
-    # The row gather is row-rate-bound (width free up to 128 lanes,
-    # PERF.md fact 1), so the doubled gather costs nothing, while the
-    # previous two-part build + lane-concat on the [E2, 4F] stream cost
-    # ~5 ms per apply at the bench config (scripts/ab_pair_msgs.py:
-    # 22.6 -> 17.8 ms, bit-identical output).
-    if fused:
+    # Fused narrow layout (2*f2 <= 128): the gather table's lanes are
+    # DUPLICATED ([x | x], 4F lanes) so the message build is one
+    # elementwise quadrant-select.  The row gather is row-rate-bound
+    # (width free up to 128 lanes, PERF.md fact 1), so the doubled
+    # gather costs nothing, while the previous two-part build +
+    # lane-concat on the [E2, 4F] stream cost ~5 ms per apply at the
+    # bench config (scripts/ab_pair_msgs.py: 22.6 -> 17.8 ms,
+    # bit-identical output).  Past 128 lanes the duplicated gather is no
+    # longer free, so wider shapes keep the two-part build.
+    dup = fused and 2 * f2 <= 128
+    if dup:
         xg = jnp.concatenate([xg, xg], axis=1)
     x_hot = xg[tmpl.hot_ids] if tmpl.hot_ids is not None else None
     lane4 = jnp.arange(2 * f2)
@@ -559,7 +562,7 @@ def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
         return out
 
     def msgs(g, a, th, which):
-        if which == "both":
+        if which == "both" and dup:
             (va, vb), (wa, wb) = halves(a, th, "both")
             sel = jnp.where(
                 lane4[None, :] < fa, va[:, None],
@@ -567,6 +570,12 @@ def _template_pair_forward(tmpl: MagneticTemplate, q, x: jnp.ndarray):
                           jnp.where(lane4[None, :] < f2 + fa, wa[:, None],
                                     wb[:, None])))
             return (g * sel).astype(mdt)
+        if which == "both":
+            parts = [
+                g * jnp.where(lane[None, :], va[:, None], vb[:, None])
+                for va, vb in halves(a, th, "both")
+            ]
+            return jnp.concatenate(parts, axis=1).astype(mdt)
         ((va, vb),) = halves(a, th, which)
         m = g * jnp.where(lane[None, :], va[:, None], vb[:, None])
         return m.astype(mdt)

@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="halve N and skip the dense config")
     ap.add_argument("--feat", type=int, default=64)
+    ap.add_argument("--log2n", type=int, default=None,
+                    help="override N = 2**log2n (the tunneled backend "
+                         "413s past ~10M edges; deg-48 needs 2**19)")
+    ap.add_argument("--degs", type=int, nargs="+", default=None)
     args = ap.parse_args()
 
     from pytorch_geometric_signed_directed_tpu.ops import (
@@ -58,10 +62,12 @@ def main():
 
     set_message_dtype("bf16")  # bench-conventional training precision
 
-    n = 1 << (19 if args.quick else 20)
+    n = 1 << (args.log2n if args.log2n is not None
+              else (19 if args.quick else 20))
     block = GATHER_FAST_ROWS
     nb = (n + block - 1) // block
-    degs = (8,) if args.quick else (8, 48)
+    degs = tuple(args.degs) if args.degs else ((8,) if args.quick
+                                               else (8, 48))
     rng = np.random.default_rng(0)
     f = args.feat
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
