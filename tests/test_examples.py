@@ -41,6 +41,7 @@ def test_digrac(capsys):
     assert "ARI" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_sssnet(capsys):
     run_example("sssnet.py", ["--N", "100", "--epochs", "5"])
     assert "mean ARI" in capsys.readouterr().out
@@ -54,12 +55,14 @@ def test_msgnn_link_synthetic(capsys):
 
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+@pytest.mark.slow
 def test_digcn_inception_telegram(capsys):
     run_example("digcn_inception_node.py", ["--epochs", "3"])
     assert "mean test acc" in capsys.readouterr().out
 
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+@pytest.mark.slow
 def test_digcl_telegram(capsys):
     run_example("digcl_node.py", ["--epochs", "3", "--dataset", "telegram",
                                   "--splits", "1"])
@@ -67,6 +70,7 @@ def test_digcl_telegram(capsys):
 
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+@pytest.mark.slow
 def test_link_sign_prediction_sgcn(capsys):
     run_example("run_link_sign_prediction.py",
                 ["--dataset", "bitcoin_alpha", "--epochs", "3",
@@ -86,6 +90,7 @@ def test_link_sign_direction_tasks(capsys, method):
 
 
 @pytest.mark.parametrize("method", ["sigat", "sdgnn"])
+@pytest.mark.slow
 def test_link_sign_direction_tasks_attention(capsys, method):
     run_example("run_link_sign_direction_tasks.py",
                 ["--dataset", "synthetic", "--num_nodes", "70",
@@ -130,6 +135,7 @@ def test_dgcn_node_telegram(capsys):
 
 
 @pytest.mark.skipif(not BUNDLE_OK, reason="dataset bundle not available")
+@pytest.mark.slow
 def test_digcl_link_telegram(capsys):
     run_example("digcl_link.py", ["--epochs", "3", "--dataset", "telegram",
                                   "--splits", "1"])

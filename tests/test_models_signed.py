@@ -98,6 +98,7 @@ def _embedding_model_harness(model_fn, prep, loss_args_fn, n=60, steps=15):
 
 
 class TestSGCN:
+    @pytest.mark.slow
     def test_train_and_eval(self):
         n = 60
 
@@ -125,6 +126,7 @@ class TestSGCN:
 
 
 class TestSNEA:
+    @pytest.mark.slow
     def test_train_and_eval(self):
         n = 60
 
@@ -151,6 +153,7 @@ class TestSNEA:
 
 
 class TestSiGAT:
+    @pytest.mark.slow
     def test_train_and_eval(self):
         n = 60
 
@@ -177,6 +180,7 @@ class TestSiGAT:
 
 
 class TestSDGNN:
+    @pytest.mark.slow
     def test_train_and_eval(self):
         n = 60
 

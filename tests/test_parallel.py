@@ -90,6 +90,7 @@ def test_sharded_grad_matches_single(graph):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
@@ -149,6 +150,7 @@ def test_entry_compiles():
     assert out.shape[1] == 3
 
 
+@pytest.mark.slow
 def test_two_axis_mesh_parallel_trainings():
     """(data x graph) mesh: vmapped independent trainings sharded on
     "data" while graph operators shard on "graph" — matches single-device
@@ -277,6 +279,7 @@ def test_sharded_mxu_dual_matches_flat(streamed):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_magnet_mxu_forward_and_grad(graph):
     """Full MagNet model over an mxu-mode Laplacian (fused dual) sharded
     across the mesh — forward and grads match single-device."""
@@ -342,6 +345,7 @@ def test_sharded_dual_matches_flat():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_dual_from_col_split_operator(monkeypatch):
     """A col-split single-chip dual re-partitions correctly: the
     extraction must map compact hot col ids back to the originals."""
@@ -398,6 +402,7 @@ def test_sharded_dual_from_col_split_operator(monkeypatch):
                                    rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_sharded_mxu_mixed_device_col_split(monkeypatch):
     """Per-device hot tables: devices whose row range sees hub-heavy
     columns split, devices with uniform columns fail the coverage gate —
@@ -491,6 +496,7 @@ def test_sharded_template_trainable_q(monkeypatch):
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_trainable_q_magnet_model():
     """A trainable-q MagNet grad step over the sharded template matches
     single-device."""

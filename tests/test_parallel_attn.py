@@ -97,6 +97,7 @@ def test_sharded_attention_apply_matches_flat(mesh):
     _tree_allclose(gsh, gref)
 
 
+@pytest.mark.slow
 def test_sharded_snea_model_fwd_and_grad(mesh, signed_graph):
     _, edge_index_s = signed_graph
     pos_ei, neg_ei, init_emb, graphs = prepare_snea_inputs(
@@ -170,6 +171,7 @@ def test_sharded_sgcn_model_fwd_and_grad(mesh, signed_graph, mode):
     _tree_allclose(gsh, gref)
 
 
+@pytest.mark.slow
 def test_sharded_sssnet_model_fwd_and_grad(mesh, signed_graph):
     d, _ = signed_graph
     d.separate_positive_negative()
@@ -201,6 +203,7 @@ def test_sharded_sssnet_model_fwd_and_grad(mesh, signed_graph):
     _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sharded_digrac_model_fwd_and_grad(mesh):
     rng = np.random.default_rng(2)
     src = rng.integers(0, N, 600)
@@ -299,6 +302,7 @@ def test_sharded_sdgnn_model_fwd_and_grad(mesh, signed_graph):
     _tree_allclose(gsh, gref, rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sharded_digcl_loss_step(mesh):
     """DiGCL contrastive loss on sharded mxu propagators vs single
     (reference nn/directed/DiGCL.py:60-199)."""

@@ -291,6 +291,7 @@ def test_bf16_message_dtype_close_to_f32():
     assert 0 < rel < 2e-2  # bf16-rounded messages, f32 accumulation
 
 
+@pytest.mark.slow
 def test_col_split_forward_and_grad(monkeypatch):
     """Hot/cold column-split layouts (flat and streamed) match scipy and
     the unsplit path, forward and backward."""

@@ -418,6 +418,7 @@ class TestMxuTemplate:
         np.testing.assert_allclose(float(dq_a), float(dq_b),
                                    rtol=1e-3, atol=1e-5)
 
+    @pytest.mark.slow
     def test_trainable_q_magnet_model_mxu(self):
         import jax
         import jax.numpy as jnp
@@ -461,6 +462,7 @@ class TestMxuTemplate:
             params["params"]["MagNetConv_0"]["q"][0])
         assert 0.0 <= q_after <= 0.25
 
+    @pytest.mark.slow
     def test_template_dual_apply_col_split(self):
         """Trainable q on col-split templates (flat AND streamed): the
         sectioned fused backward matches the unsplit template exactly."""
@@ -523,6 +525,7 @@ class TestMxuTemplate:
              scatter_mxu.STREAM_THRESHOLD_EDGES,
              scatter_mxu.STREAM_BLOCK_EDGES) = saved
 
+    @pytest.mark.slow
     def test_template_dual_apply_streamed(self):
         """Streamed (giant-graph) trainable-q: the blocked fused backward
         matches the flat plan's forward, dx, and dq exactly."""

@@ -3,6 +3,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import pytest
 
 from pytorch_geometric_signed_directed_tpu.train import (
     Trainer,
@@ -55,6 +56,7 @@ def test_early_stopping():
     assert state.best_params is not None
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     model, params, loss_fn = _setup()
     trainer = Trainer(loss_fn, lr=1e-1)
