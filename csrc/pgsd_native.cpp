@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -std=c++17 -shared -fPIC pgsd_native.cpp -o libpgsd_native.so
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -259,6 +260,131 @@ void pgsd_argsort_u64(const uint64_t* keys, int64_t n, int64_t* perm_out) {
 // precision for Laplacian weights, original row stride n) are
 // overwritten in their leading m entries with the per-run sums.
 // Returns m.
+
+// ---------- fused magnetic symmetrization ----------
+//
+// The magnetic Laplacian's symmetrization (spectral/magnetic._symmetrize)
+// concatenates both edge directions (2E int64 keys + 3x 2E float64
+// values), sorts, and sums duplicate runs — ~23s of numpy/native time at
+// WikiTalk scale, dominated by materializing the doubled arrays.  This
+// fuses the whole step: both-direction keys are built on the fly
+// (self-loops skipped), one threaded radix argsort runs over them, and
+// the accumulate pass derives each entry's (sym, theta, abs) contribution
+// from its payload index alone — no value arrays are ever doubled.
+//
+//   sym[m]   = sum over both dirs of w        (caller halves)
+//   theta[m] = sum of +w (forward) / -w (reverse)
+//   abs[m]   = sum of |w|                     (caller halves)
+//
+// out_* must have capacity 2*e.  Returns the number m of unique (i, j)
+// pairs (i != j), sorted by i*n + j.
+
+int64_t pgsd_symmetrize(const int64_t* row, const int64_t* col,
+                        const double* w, int64_t e, int64_t n,
+                        int64_t* out_row, int64_t* out_col,
+                        double* out_sym, double* out_theta,
+                        double* out_abs) {
+    if (e <= 0) return 0;
+    std::vector<uint64_t> keys;
+    std::vector<int64_t> pay;  // < e: forward edge i; >= e: reverse of i-e
+    keys.reserve(2 * e);
+    pay.reserve(2 * e);
+    for (int64_t i = 0; i < e; ++i) {
+        if (row[i] == col[i]) continue;
+        keys.push_back((uint64_t)row[i] * (uint64_t)n + (uint64_t)col[i]);
+        pay.push_back(i);
+        keys.push_back((uint64_t)col[i] * (uint64_t)n + (uint64_t)row[i]);
+        pay.push_back(i + e);
+    }
+    const int64_t n2 = (int64_t)keys.size();
+    if (n2 == 0) return 0;
+    std::vector<uint64_t> ka, kb;
+    std::vector<int64_t> pa, pb;
+    bool flip = radix_argsort(keys.data(), n2, ka, kb, pa, pb);
+    const uint64_t* ks = flip ? kb.data() : ka.data();
+    const int64_t* perm = flip ? pb.data() : pa.data();
+
+    int64_t m = -1;
+    for (int64_t i = 0; i < n2; ++i) {
+        if (i == 0 || ks[i] != ks[i - 1]) {
+            ++m;
+            out_row[m] = (int64_t)(ks[i] / (uint64_t)n);
+            out_col[m] = (int64_t)(ks[i] % (uint64_t)n);
+            out_sym[m] = out_theta[m] = out_abs[m] = 0.0;
+        }
+        const int64_t p = pay[perm[i]];
+        const bool fwd = p < e;
+        const double x = w[fwd ? p : p - e];
+        out_sym[m] += x;
+        out_theta[m] += fwd ? x : -x;
+        out_abs[m] += std::abs(x);
+    }
+    return m + 1;
+}
+
+// ---------- fused sym-normalized magnetic Laplacian ----------
+//
+// The full host build of the sym-normalized (signed) magnetic Laplacian
+// (spectral/magnetic._laplacian_core, normalization="sym"): fused
+// symmetrization (above) + weighted degree + D^-1/2 A D^-1/2 + phase
+// cos/sin + the [sorted off-diagonal edges; N diagonal entries] layout
+// the downstream -I merge expects.  The numpy pipeline pays ~5 separate
+// 16M-row float64 passes (gathers, cos/sin, concats) after coalescing;
+// this emits w_re/w_im in one threaded pass.
+//
+//   w_re[k] = -dis[i]*(sym/2)*dis[j] * cos(2*pi*q*theta);  diag = 1
+//   w_im[k] = -dis[i]*(sym/2)*dis[j] * sin(2*pi*q*theta);  diag = 0
+//
+// deg_mode: 0 -> deg weights = sym/2 (unsigned); 1 -> (|w_ij|+|w_ji|)/2
+// (signed, absolute_degree=True); 2 -> |sym/2| (signed, False).
+// out_* need capacity 2*e + n.  Returns m (off-diagonal count); caller
+// reads m + n entries.
+
+int64_t pgsd_magnetic_sym_lap(const int64_t* row, const int64_t* col,
+                              const double* w, int64_t e, int64_t n,
+                              double q, int64_t deg_mode,
+                              int64_t* out_row, int64_t* out_col,
+                              double* out_wre, double* out_wim) {
+    std::vector<double> sym(e > 0 ? 2 * e : 0), theta(e > 0 ? 2 * e : 0),
+        absv(e > 0 ? 2 * e : 0);
+    int64_t m = pgsd_symmetrize(row, col, w, e, n, out_row, out_col,
+                                sym.data(), theta.data(), absv.data());
+    std::vector<double> dis(n, 0.0);
+    for (int64_t k = 0; k < m; ++k) {
+        double dw = deg_mode == 0 ? sym[k] / 2.0
+                  : deg_mode == 1 ? absv[k] / 2.0
+                                  : std::abs(sym[k] / 2.0);
+        dis[out_row[k]] += dw;
+    }
+    for (int64_t i = 0; i < n; ++i)
+        dis[i] = dis[i] > 0.0 ? 1.0 / std::sqrt(dis[i]) : 0.0;
+
+    const double two_pi_q = 2.0 * M_PI * q;
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (m >= (1 << 21) && hw > 1) ? (int)std::min(hw, 4u) : 1;
+    auto work = [&](int t) {
+        int64_t lo = m * t / T, hi = m * (t + 1) / T;
+        for (int64_t k = lo; k < hi; ++k) {
+            double nw = -dis[out_row[k]] * (sym[k] / 2.0) * dis[out_col[k]];
+            double ang = two_pi_q * theta[k];
+            out_wre[k] = nw * std::cos(ang);
+            out_wim[k] = nw * std::sin(ang);
+        }
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 1; t < T; ++t) ts.emplace_back(work, t);
+        work(0);
+        for (auto& th : ts) th.join();
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        out_row[m + i] = i;
+        out_col[m + i] = i;
+        out_wre[m + i] = 1.0;
+        out_wim[m + i] = 0.0;
+    }
+    return m;
+}
 
 int64_t pgsd_coalesce_fused(uint64_t* keys, double* values, int64_t n,
                             int64_t nv) {

@@ -76,6 +76,29 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.pgsd_magnetic_sym_lap.restype = ctypes.c_int64
+    lib.pgsd_magnetic_sym_lap.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
+    lib.pgsd_symmetrize.restype = ctypes.c_int64
+    lib.pgsd_symmetrize.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+    ]
     _lib = lib
     return _lib
 
@@ -164,3 +187,66 @@ def coalesce(rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
     weights = np.ascontiguousarray(weights, np.float32).copy()
     out = lib.pgsd_coalesce(rows, cols, weights, len(rows), num_cols)
     return rows[:out], cols[:out], weights[:out]
+
+
+def symmetrize(row: np.ndarray, col: np.ndarray, w: np.ndarray,
+               num_nodes: int) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray, np.ndarray,
+                                                 np.ndarray]]:
+    """Fused magnetic symmetrization (spectral/magnetic._symmetrize's hot
+    path): per unique (i, j), i != j, sorted by (i, j):
+
+      sym   = sum of w over both directions   (caller halves)
+      theta = sum of +w (forward) - w (reverse)
+      abs   = sum of |w| over both directions (caller halves)
+
+    Both-direction keys are built on the fly in C++ (self-loops skipped),
+    so the 2E key/value concats of the numpy pipeline never materialize.
+    Returns (row, col, sym, theta, abs) float64 or None if the native lib
+    is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    e = len(row)
+    out_row = np.empty(2 * e, np.int64)
+    out_col = np.empty(2 * e, np.int64)
+    out_sym = np.empty(2 * e, np.float64)
+    out_theta = np.empty(2 * e, np.float64)
+    out_abs = np.empty(2 * e, np.float64)
+    m = lib.pgsd_symmetrize(row, col, w, e, int(num_nodes),
+                            out_row, out_col, out_sym, out_theta, out_abs)
+    return (out_row[:m], out_col[:m], out_sym[:m], out_theta[:m],
+            out_abs[:m])
+
+
+def magnetic_sym_lap(row: np.ndarray, col: np.ndarray, w: np.ndarray,
+                     num_nodes: int, q: float, deg_mode: int
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray, np.ndarray]]:
+    """Fused sym-normalized magnetic Laplacian host build (the whole of
+    spectral/magnetic._laplacian_core for normalization="sym"):
+    symmetrize + weighted degree + D^-1/2 A D^-1/2 + phase cos/sin, with
+    the [sorted off-diagonal edges; N diagonal entries] output layout the
+    -I merge expects.  deg_mode: 0 unsigned, 1 signed absolute_degree,
+    2 signed plain-abs.  Returns (row, col, w_re, w_im) or None if the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    col = np.ascontiguousarray(col, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    e, n = len(row), int(num_nodes)
+    cap = 2 * e + n
+    out_row = np.empty(cap, np.int64)
+    out_col = np.empty(cap, np.int64)
+    out_wre = np.empty(cap, np.float64)
+    out_wim = np.empty(cap, np.float64)
+    m = lib.pgsd_magnetic_sym_lap(row, col, w, e, n, float(q),
+                                  int(deg_mode), out_row, out_col,
+                                  out_wre, out_wim)
+    tot = m + n
+    return out_row[:tot], out_col[:tot], out_wre[:tot], out_wim[:tot]

@@ -116,3 +116,63 @@ def test_coalesce_edges_fused_branch(lib_ok, monkeypatch):
         # rounds once (strictly more accurate than numpy's f32 reduceat),
         # so f32 sums with heavy cancellation differ at f32 ulp scale
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_native_symmetrize_matches_numpy(lib_ok):
+    """pgsd_symmetrize reproduces _symmetrize's numpy pipeline exactly
+    (duplicates, self-loops, negative weights)."""
+    rng = np.random.default_rng(11)
+    n, e = 400, 6000
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    w = rng.standard_normal(e)
+    row[:50] = col[:50]  # self loops to skip
+    out = native.symmetrize(row, col, w, n)
+    assert out is not None
+    rr, cc, sym, theta, absv = out
+
+    mask = row != col
+    r = np.concatenate([row[mask], col[mask]])
+    c = np.concatenate([col[mask], row[mask]])
+    sym_a = np.concatenate([w[mask], w[mask]])
+    th_a = np.concatenate([w[mask], -w[mask]])
+    ab_a = np.concatenate([np.abs(w[mask])] * 2)
+    key = r * n + c
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1])
+    np.testing.assert_array_equal(rr, ks[starts] // n)
+    np.testing.assert_array_equal(cc, ks[starts] % n)
+    np.testing.assert_allclose(sym, np.add.reduceat(sym_a[order], starts),
+                               atol=1e-12)
+    np.testing.assert_allclose(theta, np.add.reduceat(th_a[order], starts),
+                               atol=1e-12)
+    np.testing.assert_allclose(absv, np.add.reduceat(ab_a[order], starts),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("signed,absolute_degree,deg_mode",
+                         [(False, True, 0), (True, True, 1),
+                          (True, False, 2)])
+def test_native_magnetic_sym_lap_matches_core(lib_ok, signed,
+                                              absolute_degree, deg_mode):
+    """pgsd_magnetic_sym_lap == _laplacian_core(normalization='sym') for
+    all three degree modes (the giant-path fusion used past 2^20 edges)."""
+    from pytorch_geometric_signed_directed_tpu.spectral.magnetic import (
+        _laplacian_core)
+
+    rng = np.random.default_rng(12)
+    n, e = 300, 5000
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.standard_normal(e) if signed else rng.uniform(0.1, 2.0, e)
+    ref_ei, ref_re, ref_im = _laplacian_core(
+        ei, w, "sym", n, q=0.2, return_lambda_max=False, signed=signed,
+        absolute_degree=absolute_degree)
+    out = native.magnetic_sym_lap(ei[0], ei[1],
+                                  np.asarray(w, np.float64), n, 0.2,
+                                  deg_mode)
+    assert out is not None
+    orow, ocol, wre, wim = out
+    np.testing.assert_array_equal(np.stack([orow, ocol]), ref_ei)
+    np.testing.assert_allclose(wre, ref_re, atol=1e-12)
+    np.testing.assert_allclose(wim, ref_im, atol=1e-12)
