@@ -5,9 +5,10 @@ process with 8 virtual CPU devices.  This script executes the actual
 multi-host code path: 2 OS processes x 4 virtual CPU devices each,
 joined by `jax.distributed.initialize` into one 8-device global mesh
 (gloo-backed CPU collectives — the DCN stand-in available in this
-image), running the SAME sharded MagNet train steps as dryrun_multichip
-phase 2 (frozen mxu tier) and phase 4 (trainable-q sharded template):
-global arrays span process boundaries, every collective crosses them.
+image), running the SAME sharded train steps as dryrun_multichip
+phases 2/4/5: frozen mxu tier, trainable-q sharded template, and the
+attention tier (SNEA under shard_map).  Global arrays span process
+boundaries; every collective crosses them.
 
 Parity: process 0 of the 2-process run reports (loss, global param
 norm) after one optimizer step; the launcher compares against an
@@ -67,19 +68,19 @@ def build_problem():
 
 
 def run_steps(sharded: bool):
-    """One Adam step of the frozen-mxu and trainable-q models; returns
-    [(loss, norm), (loss, norm)]."""
+    """One Adam step of the frozen-mxu, trainable-q, and attention
+    (SNEA) models; returns [(loss, norm)] * 3."""
     import jax
     import jax.numpy as jnp
     import optax
     from pytorch_geometric_signed_directed_tpu.parallel import (
-        make_mesh, shard_magnet_laplacian)
+        make_mesh, shard_attention_graphs, shard_magnet_laplacian)
 
     model, model_q, params, params_q, x, y, lap, tmpl, n = build_problem()
     tx = optax.adam(1e-2)
 
+    mesh = make_mesh(len(jax.devices()), axis_names=("graph",))
     if sharded:
-        mesh = make_mesh(len(jax.devices()), axis_names=("graph",))
         lap = shard_magnet_laplacian(lap, mesh, axis="graph")
         tmpl = shard_magnet_laplacian(tmpl, mesh, axis="graph")
         assert lap.dual.mode == "mxu_sharded" and tmpl.mode == "mxu_sharded"
@@ -101,6 +102,41 @@ def run_steps(sharded: bool):
 
         p1, _, loss = step(p0, tx.init(p0), op)
         out.append((float(loss), float(optax.global_norm(p1))))
+
+    # attention tier (SNEA model forward under shard_map edge plans)
+    import numpy as np
+    from pytorch_geometric_signed_directed_tpu.data import SSBM, SignedData
+    from pytorch_geometric_signed_directed_tpu.nn import SNEA
+    from pytorch_geometric_signed_directed_tpu.nn.signed.snea import (
+        prepare_snea_inputs)
+
+    ns = 256
+    (A_p, A_n), _ = SSBM(ns, 2, 0.3, 0.1, size_ratio=1,
+                         rng=np.random.default_rng(4))
+    d = SignedData(A=(A_p, A_n))
+    edge_index_s = np.concatenate(
+        [d.edge_index.T, np.sign(d.edge_weight)[:, None].astype(np.int64)],
+        axis=1)
+    _, _, init_emb, graphs = prepare_snea_inputs(ns, edge_index_s,
+                                                 in_dim=8)
+    snea = SNEA(node_num=ns, in_dim=8, out_dim=8, layer_num=2,
+                init_emb=init_emb)
+    params_s = snea.init(jax.random.PRNGKey(4), graphs)
+    if sharded:
+        graphs = shard_attention_graphs(graphs, mesh)
+
+    @jax.jit
+    def step_snea(p, s, graphs_):
+        def loss_fn(pp):
+            return (snea.apply(pp, graphs_) ** 2).sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    with mesh:
+        p1, _, loss = step_snea(params_s, tx.init(params_s), graphs)
+    out.append((float(loss), float(optax.global_norm(p1))))
     return out
 
 
@@ -160,7 +196,8 @@ def launch():
         with open(out) as f:
             rm = json.load(f)
 
-    names = ["frozen mxu tier", "trainable-q template"]
+    names = ["frozen mxu tier", "trainable-q template",
+             "attention tier (SNEA)"]
     ok = True
     for name, (ls, ns), (lm, nm) in zip(names, rs, rm):
         dl, dn = abs(ls - lm), abs(ns - nm)
