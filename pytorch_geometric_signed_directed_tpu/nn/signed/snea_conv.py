@@ -100,6 +100,53 @@ def attention_softmax_aggregate(g: AttnGraph, logits: jnp.ndarray,
     return agg[:, 1:] / denom
 
 
+def attention_softmax_aggregate_pair(g: AttnGraph, l1, m1, l2, m2):
+    """TWO softmax-by-destination aggregations over the SAME plan in one
+    scatter: [denom1 | msgs1 | denom2 | msgs2] lanes.  Identical math to
+    two attention_softmax_aggregate calls (one shared global shift —
+    per-segment softmax is shift-invariant); halves the number of
+    sub-full-lane scatter passes."""
+    n = g.num_nodes
+    valid = g.dst < n
+    neg_inf = jnp.finfo(l1.dtype).min
+    shift = jnp.max(jnp.where(valid, jnp.maximum(l1, l2), neg_inf))
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
+    ex1 = jnp.where(valid, jnp.exp(l1 - shift), 0.0)
+    ex2 = jnp.where(valid, jnp.exp(l2 - shift), 0.0)
+    f = m1.shape[1]
+    stacked = jnp.concatenate(
+        [ex1[:, None], m1 * ex1[:, None], ex2[:, None], m2 * ex2[:, None]],
+        axis=1)
+    agg = scatter_sum(g.plan, stacked)
+    tiny = jnp.finfo(l1.dtype).tiny
+    o1 = agg[:, 1:f + 1] / jnp.maximum(agg[:, :1], tiny)
+    o2 = agg[:, f + 2:] / jnp.maximum(agg[:, f + 1:f + 2], tiny)
+    return o1, o2
+
+
+def _attend_pair(x1b, x2b, x1u, x2u, g: AttnGraph, alpha_b, alpha_u):
+    """Two _attend calls that share one AttnGraph, fused: ONE lane-stacked
+    [4F] src gather + one dst gather replace the pair's eight [F]
+    gathers (the row gather is row-rate-bound, width-free to 128 lanes),
+    and both aggregations ride one scatter (see
+    attention_softmax_aggregate_pair).  Flat AttnGraph only — the
+    sharded path keeps per-attend applies."""
+    n = g.num_nodes
+    src = jnp.minimum(g.src, n - 1)
+    dst = jnp.minimum(g.dst, n - 1)
+    f = x1b.shape[1]
+    T = jnp.concatenate([x1b, x2b, x1u, x2u], axis=1)
+    gs, gd = T[src], T[dst]
+    sel = (g.edge_p == 1)[:, None]
+    hj_b = jnp.where(sel, gs[:, f:2 * f], gs[:, :f])
+    hi_b = jnp.where(sel, gd[:, f:2 * f], gd[:, :f])
+    hj_u = jnp.where(sel, gs[:, 3 * f:], gs[:, 2 * f:3 * f])
+    hi_u = jnp.where(sel, gd[:, 3 * f:], gd[:, 2 * f:3 * f])
+    lb = jnp.tanh(alpha_b(jnp.concatenate([hj_b, hi_b], axis=-1)))[:, 0]
+    lu = jnp.tanh(alpha_u(jnp.concatenate([hj_u, hi_u], axis=-1)))[:, 0]
+    return attention_softmax_aggregate_pair(g, lb, hi_b, lu, hi_u)
+
+
 def snea_graphs(pos_edge_index, neg_edge_index, num_nodes: int
                 ) -> Tuple[AttnGraph, AttnGraph, AttnGraph]:
     """(pos+loops, neg+loops, concat[pos+loops ; neg]) — the structures the
@@ -178,6 +225,12 @@ class SNEAConv(nn.Module):
         else:
             F_in = self.in_dim
             h_b, h_u = x[..., :F_in], x[..., F_in:]
-            out_b = _attend(lin_b(h_b), lin_b(h_u), g_cat, alpha_b)
-            out_u = _attend(lin_u(h_u), lin_u(h_b), g_cat, alpha_u)
+            if isinstance(g_cat, AttnGraph):
+                # both attends share g_cat's plan: fused pair path
+                out_b, out_u = _attend_pair(
+                    lin_b(h_b), lin_b(h_u), lin_u(h_u), lin_u(h_b),
+                    g_cat, alpha_b, alpha_u)
+            else:
+                out_b = _attend(lin_b(h_b), lin_b(h_u), g_cat, alpha_b)
+                out_u = _attend(lin_u(h_u), lin_u(h_b), g_cat, alpha_u)
         return jnp.concatenate([out_b, out_u], axis=-1)
