@@ -173,11 +173,8 @@ def bench_trainable_q_ratio(n, avg_deg, steps, dt_frozen):
 def bench_snea(n, e_pos, e_neg, steps,
                metric="snea_attention_train_edges_per_s_per_chip"):
     import jax
-    import jax.numpy as jnp
     from pytorch_geometric_signed_directed_tpu.nn import SNEA
     from pytorch_geometric_signed_directed_tpu.nn.signed import snea_conv
-    from pytorch_geometric_signed_directed_tpu.ops.segment import (
-        segment_softmax, segment_sum)
 
     rng = np.random.default_rng(0)
     pos = np.vstack([rng.integers(0, n, e_pos), rng.integers(0, n, e_pos)])
@@ -196,21 +193,16 @@ def bench_snea(n, e_pos, e_neg, steps,
     dt = _sync_time(run, *st, steps=steps)
 
     # baseline: identical math with XLA segment softmax + segment sum
-    # (what a faithful port of PyG's softmax-by-index would do)
-    orig = snea_conv.attention_softmax_aggregate
-
-    def xla_aggregate(g, logits, msgs):
-        seg = jnp.minimum(g.dst, g.num_nodes)
-        alpha = segment_softmax(logits, seg, g.num_nodes + 1)
-        out = segment_sum(msgs * alpha[:, None], seg, g.num_nodes + 1)
-        return out[: g.num_nodes]
-
-    snea_conv.attention_softmax_aggregate = xla_aggregate
+    # (what a faithful port of PyG's softmax-by-index would do).  The
+    # structural AGGREGATE_BACKEND flag routes BOTH the single and fused
+    # pair attention paths through the XLA segment ops, so the ratio is a
+    # true XLA-vs-Pallas comparison for every path the model takes.
+    snea_conv.AGGREGATE_BACKEND = "xla"
     try:
         run_b, st_b = _train_scanner(loss_fn, params, steps, aux=graphs)
         dt_b = _sync_time(run_b, *st_b, steps=steps)
     finally:
-        snea_conv.attention_softmax_aggregate = orig
+        snea_conv.AGGREGATE_BACKEND = "mxu"
     _emit(metric, e, dt, dt_b, f"N={n}, E={e} (3 attn graphs), 2 layers")
 
 

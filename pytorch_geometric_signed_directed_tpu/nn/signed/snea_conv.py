@@ -26,6 +26,19 @@ from ...ops.pallas.scatter_mxu import (
 
 _xavier_normal = nn.initializers.xavier_normal()
 
+# Aggregation backend for BOTH the single and pair attention paths:
+#   "mxu"  — Pallas scatter-plan one-hot-matmul segment sums (default)
+#   "xla"  — XLA segment_softmax / segment_sum (what a faithful port of
+#            PyG's softmax-by-index message passing would do); used as the
+#            structural bench baseline so XLA-vs-Pallas comparisons cover
+#            every path (bench.py swaps this flag, not a function).
+AGGREGATE_BACKEND = "mxu"
+
+# The fused pair path gathers a lane-stacked [N, 4F] table; row gathers
+# are width-free only up to 128 lanes (see _template_pair_forward's dup
+# gate), so wider configs fall back to two separate attends.
+PAIR_FUSION_MAX_LANES = 128
+
 
 @struct.dataclass
 class AttnGraph:
@@ -76,6 +89,15 @@ def build_attention_graph(edge_sets, num_nodes: int,
                      num_nodes=num_nodes)
 
 
+def _xla_softmax_aggregate(g: AttnGraph, logits: jnp.ndarray,
+                           msgs: jnp.ndarray) -> jnp.ndarray:
+    """XLA-segment-op aggregation (the structural bench baseline)."""
+    seg = jnp.minimum(g.dst, g.num_nodes)
+    alpha = segment_softmax(logits, seg, g.num_nodes + 1)
+    out = segment_sum(msgs * alpha[:, None], seg, g.num_nodes + 1)
+    return out[: g.num_nodes]
+
+
 def attention_softmax_aggregate(g: AttnGraph, logits: jnp.ndarray,
                                 msgs: jnp.ndarray) -> jnp.ndarray:
     """softmax(logits) over edges grouped by destination, then weighted
@@ -86,6 +108,8 @@ def attention_softmax_aggregate(g: AttnGraph, logits: jnp.ndarray,
     padding rows contribute zero and empty segments divide by the tiny
     guard.
     """
+    if AGGREGATE_BACKEND == "xla":
+        return _xla_softmax_aggregate(g, logits, msgs)
     n = g.num_nodes
     valid = g.dst < n
     neg_inf = jnp.finfo(logits.dtype).min
@@ -106,6 +130,9 @@ def attention_softmax_aggregate_pair(g: AttnGraph, l1, m1, l2, m2):
     two attention_softmax_aggregate calls (one shared global shift —
     per-segment softmax is shift-invariant); halves the number of
     sub-full-lane scatter passes."""
+    if AGGREGATE_BACKEND == "xla":
+        return (_xla_softmax_aggregate(g, l1, m1),
+                _xla_softmax_aggregate(g, l2, m2))
     n = g.num_nodes
     valid = g.dst < n
     neg_inf = jnp.finfo(l1.dtype).min
@@ -225,7 +252,10 @@ class SNEAConv(nn.Module):
         else:
             F_in = self.in_dim
             h_b, h_u = x[..., :F_in], x[..., F_in:]
-            if isinstance(g_cat, AttnGraph):
+            fuse = (isinstance(g_cat, AttnGraph)
+                    and AGGREGATE_BACKEND == "mxu"
+                    and 4 * self.out_dim <= PAIR_FUSION_MAX_LANES)
+            if fuse:
                 # both attends share g_cat's plan: fused pair path
                 out_b, out_u = _attend_pair(
                     lin_b(h_b), lin_b(h_u), lin_u(h_u), lin_u(h_b),

@@ -6,9 +6,10 @@ multi-host code path: 2 OS processes x 4 virtual CPU devices each,
 joined by `jax.distributed.initialize` into one 8-device global mesh
 (gloo-backed CPU collectives — the DCN stand-in available in this
 image), running the SAME sharded train steps as dryrun_multichip
-phases 2/4/5: frozen mxu tier, trainable-q sharded template, and the
-attention tier (SNEA under shard_map).  Global arrays span process
-boundaries; every collective crosses them.
+phases 2/4/5/6/7: frozen mxu tier, trainable-q sharded template, the
+attention tier (SNEA under shard_map), the signed dual-propagator tier
+(SGCN), and the motif-model tier (SDGNN, 4 motif AttnGraphs).  Global
+arrays span process boundaries; every collective crosses them.
 
 Parity: process 0 of the 2-process run reports (loss, global param
 norm) after one optimizer step; the launcher compares against an
@@ -29,7 +30,15 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-COORD_PORT = 49731
+
+def _free_port() -> int:
+    """Ephemeral coordinator port — a fixed constant collides when a
+    stale worker lingers or two runs (e.g. parallel CI shards) race."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 def build_problem():
@@ -137,16 +146,71 @@ def run_steps(sharded: bool):
     with mesh:
         p1, _, loss = step_snea(params_s, tx.init(params_s), graphs)
     out.append((float(loss), float(optax.global_norm(p1))))
+
+    # signed dual-propagator tier (SGCN pos/neg under shard_map)
+    from pytorch_geometric_signed_directed_tpu.nn import SGCN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sgcn import (
+        prepare_sgcn_inputs)
+    from pytorch_geometric_signed_directed_tpu.parallel import (
+        shard_propagator)
+
+    _, _, emb_g, P_pos, P_neg = prepare_sgcn_inputs(
+        ns, edge_index_s, in_dim=8, mode="mxu")
+    sgcn = SGCN(node_num=ns, in_dim=8, out_dim=8, layer_num=2,
+                init_emb=emb_g)
+    params_g = sgcn.init(jax.random.PRNGKey(5), P_pos, P_neg)
+    if sharded:
+        P_pos = shard_propagator(P_pos, mesh)
+        P_neg = shard_propagator(P_neg, mesh)
+
+    @jax.jit
+    def step_sgcn(p, s, Pp, Pn):
+        def loss_fn(pp):
+            return (sgcn.apply(pp, Pp, Pn) ** 2).sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    with mesh:
+        p1, _, loss = step_sgcn(params_g, tx.init(params_g), P_pos, P_neg)
+    out.append((float(loss), float(optax.global_norm(p1))))
+
+    # motif-model tier (SDGNN: 4 motif AttnGraphs dispatched per layer)
+    from pytorch_geometric_signed_directed_tpu.nn import SDGNN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sdgnn import (
+        prepare_sdgnn_inputs)
+
+    _, _, emb_m, mgraphs, _, _ = prepare_sdgnn_inputs(
+        ns, edge_index_s, in_dim=8)
+    sdgnn = SDGNN(node_num=ns, in_dim=8, out_dim=8, layer_num=2,
+                  init_emb=emb_m)
+    params_m = sdgnn.init(jax.random.PRNGKey(6), mgraphs)
+    if sharded:
+        mgraphs = shard_attention_graphs(mgraphs, mesh)
+
+    @jax.jit
+    def step_sdgnn(p, s, graphs_):
+        def loss_fn(pp):
+            return (sdgnn.apply(pp, graphs_) ** 2).sum()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s = tx.update(grads, s)
+        return optax.apply_updates(p, updates), s, loss
+
+    with mesh:
+        p1, _, loss = step_sdgnn(params_m, tx.init(params_m), mgraphs)
+    out.append((float(loss), float(optax.global_norm(p1))))
     return out
 
 
-def worker(pid: int, nprocs: int, out_path: str):
+def worker(pid: int, nprocs: int, out_path: str, port: int):
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{COORD_PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=nprocs, process_id=pid)
     assert len(jax.devices()) == 8, jax.devices()
     assert jax.process_count() == nprocs
@@ -181,10 +245,11 @@ def launch():
         out = os.path.join(td, "multi.json")
         env2 = dict(env)
         env2["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        port = _free_port()
         procs = [
             subprocess.Popen(
                 [sys.executable, __file__, "--worker", str(i),
-                 "--nprocs", "2", "--out", out],
+                 "--nprocs", "2", "--out", out, "--port", str(port)],
                 env=env2, cwd=REPO)
             for i in range(2)
         ]
@@ -197,15 +262,18 @@ def launch():
             rm = json.load(f)
 
     names = ["frozen mxu tier", "trainable-q template",
-             "attention tier (SNEA)"]
+             "attention tier (SNEA)", "signed dual tier (SGCN)",
+             "motif model tier (SDGNN)"]
     ok = True
     for name, (ls, ns), (lm, nm) in zip(names, rs, rm):
-        dl, dn = abs(ls - lm), abs(ns - nm)
+        # relative: phases span loss scales from ~1 to sum-square scale
+        dl = abs(ls - lm) / max(1.0, abs(ls))
+        dn = abs(ns - nm) / max(1.0, abs(ns))
         good = dl < 2e-5 and dn < 2e-4
         ok &= good
         print(f"multiprocess {name}: 1-proc loss={ls:.6f} "
-              f"2-proc loss={lm:.6f} |dloss|={dl:.2e} |dnorm|={dn:.2e} "
-              f"{'OK' if good else 'FAIL'}")
+              f"2-proc loss={lm:.6f} rel|dloss|={dl:.2e} "
+              f"rel|dnorm|={dn:.2e} {'OK' if good else 'FAIL'}")
     print(json.dumps({"multiprocess_ok": ok, "phases": names,
                       "single": rs, "multi": rm}))
     return 0 if ok else 1
@@ -217,9 +285,10 @@ def main():
     ap.add_argument("--nprocs", type=int, default=2)
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--port", type=int, default=None)
     a = ap.parse_args()
     if a.worker is not None:
-        worker(a.worker, a.nprocs, a.out)
+        worker(a.worker, a.nprocs, a.out, a.port)
     elif a.single:
         single(a.out)
     else:

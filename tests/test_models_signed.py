@@ -339,3 +339,112 @@ def test_attention_aggregate_grads_finite():
         argnums=(0, 1))(logits, msgs)
     assert np.isfinite(np.asarray(gl)).all()
     assert np.isfinite(np.asarray(gm)).all()
+
+
+class TestSNEAPairFusion:
+    """Fast unit parity for the fused pair attention path (round-4
+    optimization): _attend_pair == two _attend calls, the pair aggregate
+    == two single aggregates, the XLA baseline backend matches the MXU
+    path, and the width-gate fallback is numerically identical."""
+
+    def _graph(self, n=40, e=160, seed=0):
+        from pytorch_geometric_signed_directed_tpu.nn.signed import (
+            snea_conv)
+
+        rng = np.random.default_rng(seed)
+        pos = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        neg = np.vstack([rng.integers(0, n, e // 2),
+                         rng.integers(0, n, e // 2)])
+        g = snea_conv.build_attention_graph(
+            [(pos, 0, True), (neg, 1, False)], n)
+        return rng, g, n
+
+    def test_aggregate_pair_matches_two_singles(self):
+        from pytorch_geometric_signed_directed_tpu.nn.signed import (
+            snea_conv)
+
+        rng, g, n = self._graph()
+        e2 = g.src.shape[0]
+        l1 = jnp.asarray(rng.standard_normal(e2), jnp.float32)
+        l2 = jnp.asarray(rng.standard_normal(e2), jnp.float32)
+        m1 = jnp.asarray(rng.standard_normal((e2, 8)), jnp.float32)
+        m2 = jnp.asarray(rng.standard_normal((e2, 8)), jnp.float32)
+        o1, o2 = snea_conv.attention_softmax_aggregate_pair(
+            g, l1, m1, l2, m2)
+        r1 = snea_conv.attention_softmax_aggregate(g, l1, m1)
+        r2 = snea_conv.attention_softmax_aggregate(g, l2, m2)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(r1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(r2),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_attend_pair_matches_two_attends(self):
+        import flax.linen as fnn
+        from pytorch_geometric_signed_directed_tpu.nn.signed import (
+            snea_conv)
+
+        rng, g, n = self._graph(seed=1)
+        f = 8
+        x1b, x2b, x1u, x2u = (
+            jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+            for _ in range(4))
+        dense_b, dense_u = fnn.Dense(1), fnn.Dense(1)
+        zero = jnp.zeros((1, 2 * f))
+        ab = dense_b.bind(dense_b.init(jax.random.PRNGKey(0), zero))
+        au = dense_u.bind(dense_u.init(jax.random.PRNGKey(1), zero))
+        ob, ou = snea_conv._attend_pair(x1b, x2b, x1u, x2u, g, ab, au)
+        rb = snea_conv._attend(x1b, x2b, g, ab)
+        ru = snea_conv._attend(x1u, x2u, g, au)
+        np.testing.assert_allclose(np.asarray(ob), np.asarray(rb),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ou), np.asarray(ru),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_xla_backend_matches_mxu(self):
+        from pytorch_geometric_signed_directed_tpu.nn.signed import (
+            snea_conv)
+
+        rng, g, n = self._graph(seed=2)
+        e2 = g.src.shape[0]
+        l1 = jnp.asarray(rng.standard_normal(e2), jnp.float32)
+        l2 = jnp.asarray(rng.standard_normal(e2), jnp.float32)
+        m1 = jnp.asarray(rng.standard_normal((e2, 8)), jnp.float32)
+        m2 = jnp.asarray(rng.standard_normal((e2, 8)), jnp.float32)
+        mxu_single = snea_conv.attention_softmax_aggregate(g, l1, m1)
+        mxu_pair = snea_conv.attention_softmax_aggregate_pair(
+            g, l1, m1, l2, m2)
+        assert snea_conv.AGGREGATE_BACKEND == "mxu"
+        snea_conv.AGGREGATE_BACKEND = "xla"
+        try:
+            xla_single = snea_conv.attention_softmax_aggregate(g, l1, m1)
+            xla_pair = snea_conv.attention_softmax_aggregate_pair(
+                g, l1, m1, l2, m2)
+        finally:
+            snea_conv.AGGREGATE_BACKEND = "mxu"
+        np.testing.assert_allclose(np.asarray(mxu_single),
+                                   np.asarray(xla_single),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(mxu_pair, xla_pair):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_width_gate_fallback_parity(self):
+        from pytorch_geometric_signed_directed_tpu.nn.signed import (
+            snea_conv)
+        from pytorch_geometric_signed_directed_tpu.nn.signed.snea_conv \
+            import SNEAConv
+
+        rng, g, n = self._graph(seed=3)
+        conv = SNEAConv(in_dim=8, out_dim=8, first_aggr=False)
+        x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+        params = conv.init(jax.random.PRNGKey(0), x, g, g, g)
+        out_fused = conv.apply(params, x, g, g, g)
+        old = snea_conv.PAIR_FUSION_MAX_LANES
+        snea_conv.PAIR_FUSION_MAX_LANES = 1  # force the two-attend path
+        try:
+            out_two = conv.apply(params, x, g, g, g)
+        finally:
+            snea_conv.PAIR_FUSION_MAX_LANES = old
+        np.testing.assert_allclose(np.asarray(out_fused),
+                                   np.asarray(out_two),
+                                   rtol=1e-4, atol=1e-5)
