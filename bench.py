@@ -245,6 +245,164 @@ def bench_sgcn(n, e_pos, e_neg, steps):
           f"N={n}, E={m} signed, 2 layers")
 
 
+def _signed_edge_array(n, e_pos, e_neg, rng):
+    m = e_pos + e_neg
+    return np.column_stack([
+        rng.integers(0, n, m), rng.integers(0, n, m),
+        np.concatenate([np.ones(e_pos), -np.ones(e_neg)])]).astype(np.int64)
+
+
+def bench_sigat(n, e_pos, e_neg, steps):
+    """SiGAT at bitcoin_alpha scale (N=3783, 22650+/1536- edges): 38
+    motif attends per forward — the most per-call-overhead-bound shape
+    in the zoo. vs_baseline = fused motif stack (one scatter over a
+    38*N row space, nn/signed/motif_stack.py) over the sequential
+    per-motif GATConv loop."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.nn import SiGAT
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sigat import (
+        prepare_sigat_inputs)
+
+    rng = np.random.default_rng(0)
+    edges = _signed_edge_array(n, e_pos, e_neg, rng)
+    e = e_pos + e_neg
+    pos, neg, emb, stack = prepare_sigat_inputs(n, edges, in_dim=20,
+                                                fused=True)
+    _, _, _, graphs = prepare_sigat_inputs(n, edges, in_dim=20,
+                                           init_emb=emb, fused=False)
+    pos_j, neg_j = jnp.asarray(pos), jnp.asarray(neg)
+    motif_edges = int(stack.g.plan.num_edges)
+    model = SiGAT(node_num=n, in_dim=20, out_dim=20, init_emb=emb)
+
+    def run_one(g):
+        def loss_fn(p, g_):
+            return model.apply(p, g_, pos_j, neg_j, method=SiGAT.loss)
+
+        params = model.init(jax.random.PRNGKey(0), g, pos_j, neg_j,
+                            method=SiGAT.loss)
+        run, st = _train_scanner(loss_fn, params, steps, aux=g)
+        return _sync_time(run, *st, steps=steps)
+
+    dt = run_one(stack)
+    dt_b = run_one(graphs)
+    _emit("sigat_train_edges_per_s_per_chip", e, dt, dt_b,
+          f"input edges/s, N={n}, E={e} signed, 38 motif graphs "
+          f"({motif_edges} motif edges), fused stack; baseline = "
+          f"sequential 38-attend loop")
+
+
+def bench_sdgnn(n, e_pos, e_neg, steps):
+    """SDGNN at bitcoin_alpha scale: 4 motif attends x 2 layers +
+    sign/direction/triangle loss. vs_baseline = fused motif stack over
+    the sequential per-motif loop."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.nn import SDGNN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sdgnn import (
+        prepare_sdgnn_inputs)
+
+    rng = np.random.default_rng(0)
+    edges = _signed_edge_array(n, e_pos, e_neg, rng)
+    e = e_pos + e_neg
+    pos, neg, emb, stack, w_pos, w_neg = prepare_sdgnn_inputs(
+        n, edges, in_dim=20, fused=True)
+    _, _, _, graphs, _, _ = prepare_sdgnn_inputs(
+        n, edges, in_dim=20, init_emb=emb, fused=False)
+    aux_j = (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w_pos),
+             jnp.asarray(w_neg))
+    model = SDGNN(node_num=n, in_dim=20, out_dim=20, layer_num=2,
+                  init_emb=emb)
+
+    def run_one(g):
+        def loss_fn(p, g_):
+            return model.apply(p, g_, *aux_j, method=SDGNN.loss)
+
+        params = model.init(jax.random.PRNGKey(0), g, *aux_j,
+                            method=SDGNN.loss)
+        run, st = _train_scanner(loss_fn, params, steps, aux=g)
+        return _sync_time(run, *st, steps=steps)
+
+    dt = run_one(stack)
+    dt_b = run_one(graphs)
+    _emit("sdgnn_train_edges_per_s_per_chip", e, dt, dt_b,
+          f"input edges/s, N={n}, E={e} signed, 4 motif graphs x 2 "
+          f"layers + sign/direction/triangle loss, fused stack; "
+          f"baseline = sequential per-motif loop")
+
+
+def bench_digcl(n, avg_deg, steps, batch_size=4096, base_batch=1024):
+    """DiGCL contrastive step at N=65536 — the library's only O(N^2)
+    hot path (batched InfoNCE between two PPR views,
+    nn/directed/digcl.py batched_semi_loss). Value = similarity pairs/s
+    (2 directions x N^2 per step). vs_baseline = tuned batch size over
+    a 1024-row batching of the same computation. Memory: each direction
+    materializes two [B, N] similarity blocks (B=4096: 2 x 1.07 GB f32
+    live per direction at N=65536)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pytorch_geometric_signed_directed_tpu.data import DSBM
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        gcn_norm_propagator, in_out_degree)
+    from pytorch_geometric_signed_directed_tpu.nn import DiGCL
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        meta_graph_generation)
+
+    F = meta_graph_generation("cyclic", 5, 0.05, False)
+    p = avg_deg / n
+    A, _ = DSBM(n, 5, p * 5 / 2, F, rng=np.random.default_rng(0))
+    edge_index = np.vstack(A.nonzero())
+    w = A.tocoo().data
+    x = in_out_degree(edge_index, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    # two graph views (PPR curriculum in the real experiment; the
+    # propagator tier is identical so one operator serves both)
+    P = gcn_norm_propagator(edge_index, w, n, mode="auto")
+    model = DiGCL(in_channels=2, activation="relu", num_hidden=64,
+                  num_proj_hidden=32, tau=0.4, num_layers=2)
+    params = model.init(jax.random.PRNGKey(0), x, P,
+                        method=DiGCL.warmup)
+    tx = optax.adam(1e-3)
+
+    def make_run(bs):
+        @jax.jit
+        def run(params, opt_state, x_, P_):
+            def body(carry, _):
+                params, opt_state = carry
+
+                def loss_fn(pp):
+                    z1 = model.apply(pp, x_, P_)
+                    z2 = model.apply(pp, x_ * 0.9, P_)
+                    return model.apply(pp, z1, z2, batch_size=bs,
+                                       method=DiGCL.loss)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state)
+                return (optax.apply_updates(params, updates),
+                        opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=steps)
+            return losses[-1]
+
+        return run
+
+    run = make_run(batch_size)
+    dt = _sync_time(run, params, tx.init(params), x, P, steps=steps)
+    run_b = make_run(base_batch)
+    dt_b = _sync_time(run_b, params, tx.init(params), x, P, steps=steps)
+    pairs = 2 * n * n
+    print(json.dumps({
+        "metric": "digcl_contrastive_train_pairs_per_s_per_chip",
+        "value": round(pairs / dt, 1),
+        "unit": f"similarity pairs/s (N={n}, batched InfoNCE B="
+                f"{batch_size}, 2-layer encoder, fwd+bwd+adam, "
+                f"backend={jax.default_backend()})",
+        "vs_baseline": round(dt_b / dt, 3),
+    }), flush=True)
+
+
 def bench_digrac(n, e, k, steps):
     """DIGRAC clustering: DIMPA trunk + probabilistic imbalance loss —
     a different hot loop from the conv benches (the P^T A P pairwise-flow
@@ -472,6 +630,11 @@ def main():
     bench_snea(n=131_580, e_pos=589_888, e_neg=121_322, steps=30,
                metric="snea_attention_epinions_scale_train_edges_per_s_per_chip")
     bench_sgcn(n=131_072, e_pos=600_000, e_neg=120_000, steps=30)
+    # motif models at bitcoin_alpha scale (docs datasets.rst:48)
+    bench_sigat(n=3783, e_pos=22_650, e_neg=1_536, steps=30)
+    bench_sdgnn(n=3783, e_pos=22_650, e_neg=1_536, steps=30)
+    # the only O(N^2) hot path in the library
+    bench_digcl(n=65_536, avg_deg=15, steps=10)
     bench_digrac(n=65_536, e=2_000_000, k=5, steps=30)
     bench_sssnet(n=65_536, e_pos=1_600_000, e_neg=400_000, k=5, steps=30)
     bench_digcn(n=65_536, avg_deg=15, steps=30)

@@ -38,6 +38,9 @@ def main(argv=None):
                     default="sd4")
     ap.add_argument("--num_nodes", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
+    # for the dense FiLL lead-lag matrices (reference
+    # MSGNN_real_data.py:58-68 top-|a| thresholding)
+    ap.add_argument("--sparsify_level", type=float, default=1.0)
     args = ap.parse_args(argv)
     label_dim = {"four_class_signed_digraph": 4,
                  "five_class_signed_digraph": 5, "sign": 2}[args.task]
@@ -49,7 +52,8 @@ def main(argv=None):
                      rng=np.random.default_rng(args.seed))
         data = SignedData(A=A, y=y)
     else:
-        data = load_signed_real_data(args.dataset)
+        data = load_signed_real_data(args.dataset,
+                                     sparsify_level=args.sparsify_level)
     n = data.num_nodes
     datasets = link_class_split(data, splits=1, task=args.task,
                                 seed=args.seed, maintain_connect=False)

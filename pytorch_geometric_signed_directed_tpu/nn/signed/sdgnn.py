@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .gat_conv import GATConv, gat_graph
+from .motif_stack import MotifGATStack, MotifStackGraph, build_motif_stack
 from .motifs import sdgnn_edge_lists
 from .sgcn import split_signed_edges
 from ...spectral.features import create_spectral_features
@@ -22,15 +23,23 @@ _kaiming = nn.initializers.kaiming_normal()
 
 
 def prepare_sdgnn_inputs(node_num: int, edge_index_s, in_dim: int = 20,
-                         init_emb: Optional[np.ndarray] = None):
+                         init_emb: Optional[np.ndarray] = None,
+                         fused: bool = False):
     """Host-side setup: init embedding, 4 motif AttnGraphs, and the
-    per-edge triangle weights for the pos/neg training edges."""
+    per-edge triangle weights for the pos/neg training edges.
+
+    fused=True collapses the 4 motif graphs into one MotifStackGraph
+    (see motif_stack.py); fused=False keeps the per-motif list
+    (required by parallel.shard_attention_graphs)."""
     pos_edge_index, neg_edge_index = split_signed_edges(edge_index_s)
     if init_emb is None:
         init_emb = create_spectral_features(pos_edge_index, neg_edge_index,
                                             node_num, in_dim)
     edge_lists, tri_weight = sdgnn_edge_lists(edge_index_s, node_num)
-    graphs = [gat_graph(e, node_num) for e in edge_lists]
+    if fused:
+        graphs = build_motif_stack(edge_lists, node_num)
+    else:
+        graphs = [gat_graph(e, node_num) for e in edge_lists]
     w_pos = np.asarray(
         tri_weight[pos_edge_index[0], pos_edge_index[1]]).ravel()
     w_neg = np.asarray(
@@ -44,11 +53,16 @@ class SDRLayer(nn.Module):
     num_graphs: int = 4
 
     @nn.compact
-    def __call__(self, x, graphs: List) -> jnp.ndarray:
-        feats = [x]
-        for i, g in enumerate(graphs):
-            feats.append(GATConv(self.out_dim, name=f"agg_{i}")(x, g))
-        combined = jnp.concatenate(feats, axis=1)
+    def __call__(self, x, graphs) -> jnp.ndarray:
+        if isinstance(graphs, MotifStackGraph):
+            outs = MotifGATStack(self.out_dim, graphs.num_graphs,
+                                 name="agg_stack")(x, graphs)
+            combined = MotifGATStack.concat(x, outs)
+        else:
+            feats = [x]
+            for i, g in enumerate(graphs):
+                feats.append(GATConv(self.out_dim, name=f"agg_{i}")(x, g))
+            combined = jnp.concatenate(feats, axis=1)
         h = jnp.tanh(nn.Dense(self.out_dim, kernel_init=_kaiming)(combined))
         return nn.Dense(self.out_dim, kernel_init=_kaiming)(h)
 
@@ -79,7 +93,7 @@ class SDGNN(nn.Module):
         self.loss_direction = Sign_Direction_Loss(self.out_dim)
         self.loss_tri = Sign_Triangle_Loss(self.out_dim)
 
-    def __call__(self, graphs: List) -> jnp.ndarray:
+    def __call__(self, graphs) -> jnp.ndarray:
         x = self.x
         for layer in self.layers:
             x = layer(x, graphs)

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .gat_conv import GATConv, gat_graph
+from .motif_stack import MotifGATStack, MotifStackGraph, build_motif_stack
 from .motifs import sigat_edge_lists
 from .sgcn import split_signed_edges
 from ...spectral.features import create_spectral_features
@@ -20,14 +21,23 @@ _kaiming = nn.initializers.kaiming_normal()
 
 
 def prepare_sigat_inputs(node_num: int, edge_index_s, in_dim: int = 20,
-                         init_emb: Optional[np.ndarray] = None):
-    """Host-side setup: spectral init embedding + 38 motif AttnGraphs."""
+                         init_emb: Optional[np.ndarray] = None,
+                         fused: bool = False):
+    """Host-side setup: spectral init embedding + 38 motif AttnGraphs.
+
+    fused=True collapses the 38 motif graphs into one MotifStackGraph
+    (single gather/scatter over a 38*N row space — see motif_stack.py);
+    fused=False keeps the per-motif list (required by the sharded
+    path, parallel.shard_attention_graphs)."""
     pos_edge_index, neg_edge_index = split_signed_edges(edge_index_s)
     if init_emb is None:
         init_emb = create_spectral_features(pos_edge_index, neg_edge_index,
                                             node_num, in_dim)
-    graphs = [gat_graph(e, node_num)
-              for e in sigat_edge_lists(edge_index_s, node_num)]
+    edge_lists = sigat_edge_lists(edge_index_s, node_num)
+    if fused:
+        graphs = build_motif_stack(edge_lists, node_num)
+    else:
+        graphs = [gat_graph(e, node_num) for e in edge_lists]
     return pos_edge_index, neg_edge_index, init_emb, graphs
 
 
@@ -52,17 +62,22 @@ class SiGAT(nn.Module):
             self.x = jnp.asarray(self.init_emb)
         self.aggs = [GATConv(self.out_dim, name=f"agg_{i}")
                      for i in range(self.num_graphs)]
+        self.agg_stack = MotifGATStack(self.out_dim, self.num_graphs,
+                                       name="agg_stack")
         self.mlp1 = nn.Dense(self.out_dim, kernel_init=_kaiming,
                              bias_init=nn.initializers.constant(0.01))
         self.mlp2 = nn.Dense(self.out_dim, kernel_init=_kaiming,
                              bias_init=nn.initializers.constant(0.01))
 
-    def __call__(self, graphs: List) -> jnp.ndarray:
+    def __call__(self, graphs) -> jnp.ndarray:
         x = self.x
-        feats = [x]
-        for agg, g in zip(self.aggs, graphs):
-            feats.append(agg(x, g))
-        combined = jnp.concatenate(feats, axis=1)
+        if isinstance(graphs, MotifStackGraph):
+            combined = MotifGATStack.concat(x, self.agg_stack(x, graphs))
+        else:
+            feats = [x]
+            for agg, g in zip(self.aggs, graphs):
+                feats.append(agg(x, g))
+            combined = jnp.concatenate(feats, axis=1)
         return self.mlp2(jnp.tanh(self.mlp1(combined)))
 
     def loss(self, graphs, pos_edge_index, neg_edge_index):

@@ -217,12 +217,17 @@ def build_sharded_mxu(row, col, val, num_rows: int, num_cols: int,
     )
 
 
-def _local_apply(S: ShardedMXU, x, make_msgs):
+def _local_apply(S: ShardedMXU, x, make_msgs, gather_dtype=None):
     """shard_map body factory: local gather + Pallas scatter + all-gather.
 
     Col-split layouts run two aliased accumulate passes into one
     zero-initialized buffer: the leading hot chunks gather from the
     replicated compact table x[hot_ids], the rest from x itself.
+
+    gather_dtype: payload dtype of the result all-gather (the dominant
+    collective — a full replicated [rows, F] table per apply).  bf16
+    halves the wire bytes in bf16-message training mode; accumulation
+    stays f32 either way.
     """
     axis, window = S.axis, S.window
     rows_per, nw = S.rows_per_device, S.num_windows
@@ -259,6 +264,8 @@ def _local_apply(S: ShardedMXU, x, make_msgs):
                 precision=_kernel_precision(msgs.dtype, prec))
             mask = jnp.repeat(visited, window)[:rows_per]
             out = jnp.where(mask[:, None], out[:rows_per], 0.0)
+            if gather_dtype is not None:
+                out = out.astype(gather_dtype)
             return jax.lax.all_gather(out, axis, axis=0, tiled=True)
         sub = lr.shape[0] // win.shape[0]
         chunk = sub * SUB
@@ -281,7 +288,10 @@ def _local_apply(S: ShardedMXU, x, make_msgs):
                 win[c0:c1], lr[c0 * sub:c1 * sub], msgs, out,
                 window=window, interpret=interpret,
                 precision=_kernel_precision(msgs.dtype, prec))
-        return jax.lax.all_gather(out[:rows_per], axis, axis=0, tiled=True)
+        out = out[:rows_per]
+        if gather_dtype is not None:
+            out = out.astype(gather_dtype)
+        return jax.lax.all_gather(out, axis, axis=0, tiled=True)
 
     args = (S.win, S.local_rows, S.visited, S.col, S.val)
     if has_b:
@@ -308,8 +318,13 @@ def _forward(S: ShardedMXU, x):
                                   vb[:, None])).astype(mdt)
     # gather straight from a message-dtype table (bf16 rows halve the
     # gather's read traffic, the dominant cost of each shard's apply —
-    # same pre-cast the single-chip tier does in _dual_forward_stacked)
-    return _local_apply(S, x.astype(mdt), make_msgs).astype(x.dtype)
+    # same pre-cast the single-chip tier does in _dual_forward_stacked);
+    # in bf16-message mode the result all-gather also rides in bf16
+    # (halves the dominant per-apply collective; consumers re-cast to
+    # the message dtype anyway)
+    gdt = mdt if mdt != x.dtype else None
+    return _local_apply(S, x.astype(mdt), make_msgs,
+                        gather_dtype=gdt).astype(x.dtype)
 
 
 @jax.custom_vjp
@@ -473,8 +488,11 @@ def _sharded_template_forward(S: ShardedMXU, q, x):
         return (g * jnp.where(lane[None, :], va[:, None],
                               vb[:, None])).astype(mdt)
 
-    # gather from the message-dtype table (see _forward)
-    return _local_apply(S, x.astype(mdt), make_msgs).astype(x.dtype)
+    # gather from the message-dtype table (see _forward); bf16 result
+    # all-gather in bf16-message mode, same as the frozen dual
+    gdt = mdt if mdt != x.dtype else None
+    return _local_apply(S, x.astype(mdt), make_msgs,
+                        gather_dtype=gdt).astype(x.dtype)
 
 
 @jax.custom_vjp
