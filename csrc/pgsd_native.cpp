@@ -419,4 +419,196 @@ int64_t pgsd_coalesce_fused(uint64_t* keys, double* values, int64_t n,
     return m;
 }
 
+// ---------- fused scatter-plan layout ----------
+//
+// The MXU scatter plan (ops/pallas/scatter_mxu._build_plan_host) lays
+// edges out grouped by destination window, each (window[, group]) bin
+// padded to chunk multiples — hot/cold grouped plans order all group-0
+// chunks before group-1.  The numpy pipeline costs ~20s (ungrouped) /
+// ~46s (grouped) at WikiTalk scale (22M edges), dominated by the
+// composite-key argsort and eight 22M-row gather/scatter passes.  This
+// builds the identical layout natively: the final edge order is one
+// stable radix argsort by key
+//     k = grp * (num_windows * window) + row          (grp-major)
+// (for ngrp=1, k = row), which equals the numpy path's row-sort +
+// (window,group)-key sort + chunk reorder; then one threaded pass
+// writes perm/lr/gr bin by bin.  Handle-based two-phase API because
+// the padded total is only known after the histogram.
+
+struct PlanHandle {
+    std::vector<uint64_t> keys_sorted;   // plan-source order
+    std::vector<int64_t> sortperm;       // plan-source -> original edge
+    std::vector<int64_t> bin_start;      // per nonempty bin, in key order
+    std::vector<int64_t> bin_count;
+    std::vector<int64_t> bin_id;         // grp * num_windows + win
+    std::vector<int64_t> bin_dst;        // padded dst offset per bin
+    int64_t e, num_rows, window, chunk, ngrp, num_windows;
+    int64_t total, num_chunks, hot_chunks;
+    bool identity;                       // input already in key order
+};
+
+void* pgsd_plan_build(const int64_t* row, const int8_t* group, int64_t e,
+                      int64_t num_rows, int64_t window, int64_t chunk,
+                      int64_t ngrp) {
+    auto* h = new PlanHandle();
+    h->e = e;
+    h->num_rows = num_rows;
+    h->window = window;
+    h->chunk = chunk;
+    h->ngrp = ngrp;
+    const int64_t nr = num_rows > 0 ? num_rows : 1;
+    h->num_windows = (nr + window - 1) / window;
+    const uint64_t W = (uint64_t)h->num_windows * (uint64_t)window;
+
+    auto key_at = [&](int64_t i) -> uint64_t {
+        uint64_t k = (uint64_t)row[i];
+        if (ngrp == 2 && group[i]) k += W;
+        return k;
+    };
+
+    bool sorted = true;
+    for (int64_t i = 1; i < e; ++i)
+        if (key_at(i) < key_at(i - 1)) { sorted = false; break; }
+    h->identity = sorted;
+    if (sorted) {
+        h->keys_sorted.resize(e);
+        for (int64_t i = 0; i < e; ++i) h->keys_sorted[i] = key_at(i);
+    } else {
+        std::vector<uint64_t> keys(e);
+        for (int64_t i = 0; i < e; ++i) keys[i] = key_at(i);
+        std::vector<uint64_t> ka, kb;
+        std::vector<int64_t> pa, pb;
+        bool flip = radix_argsort(keys.data(), e, ka, kb, pa, pb);
+        h->keys_sorted = flip ? std::move(kb) : std::move(ka);
+        h->sortperm = flip ? std::move(pb) : std::move(pa);
+    }
+
+    // bin runs over the sorted keys (bins are non-decreasing)
+    int64_t dst = 0, chunks = 0, hot = 0;
+    for (int64_t i = 0; i < e;) {
+        const uint64_t k = h->keys_sorted[i];
+        const int64_t grp = (int64_t)(k / W);
+        const int64_t win = (int64_t)((k - (uint64_t)grp * W)
+                                      / (uint64_t)window);
+        int64_t j = i + 1;
+        const uint64_t lo = ((uint64_t)grp * W
+                             + (uint64_t)win * (uint64_t)window);
+        const uint64_t hi = lo + (uint64_t)window;
+        while (j < e && h->keys_sorted[j] < hi) ++j;
+        const int64_t c = j - i;
+        const int64_t nch = (c + chunk - 1) / chunk;
+        h->bin_start.push_back(i);
+        h->bin_count.push_back(c);
+        h->bin_id.push_back(grp * h->num_windows + win);
+        h->bin_dst.push_back(dst);
+        dst += nch * chunk;
+        chunks += nch;
+        if (grp == 0 && ngrp == 2) hot += nch;
+        i = j;
+    }
+    h->total = dst;
+    h->num_chunks = chunks;
+    h->hot_chunks = (ngrp == 2) ? hot : 0;
+    if (e == 0) {  // one dummy padding chunk, matching the numpy path
+        h->total = chunk;
+        h->num_chunks = 1;
+    }
+    return h;
+}
+
+int64_t pgsd_plan_total(void* hp) { return ((PlanHandle*)hp)->total; }
+int64_t pgsd_plan_chunks(void* hp) {
+    return ((PlanHandle*)hp)->num_chunks;
+}
+int64_t pgsd_plan_hot_chunks(void* hp) {
+    return ((PlanHandle*)hp)->hot_chunks;
+}
+
+void pgsd_plan_fill(void* hp, int64_t* perm, int32_t* lr, int32_t* gr,
+                    int32_t* win, uint8_t* visited) {
+    auto* h = (PlanHandle*)hp;
+    const int64_t window = h->window, chunk = h->chunk;
+    const uint64_t W = (uint64_t)h->num_windows * (uint64_t)window;
+    std::memset(visited, 0, h->num_windows);
+    if (h->e == 0) {
+        for (int64_t i = 0; i < chunk; ++i) {
+            perm[i] = -1;
+            lr[i] = (int32_t)window;
+            gr[i] = (int32_t)h->num_rows;
+        }
+        win[0] = 0;
+        return;
+    }
+    const int64_t nb = (int64_t)h->bin_start.size();
+    // win ids + visited (cheap, sequential over ~num_windows bins)
+    int64_t cpos = 0;
+    for (int64_t b = 0; b < nb; ++b) {
+        const int64_t nch = (h->bin_count[b] + chunk - 1) / chunk;
+        const int32_t w = (int32_t)(h->bin_id[b] % h->num_windows);
+        visited[w] = 1;
+        for (int64_t c = 0; c < nch; ++c) win[cpos++] = w;
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = (h->e >= (1 << 21) && hw > 1) ? (int)std::min(hw, 4u)
+                                                : 1;
+    auto fill_range = [&](int t) {
+        const int64_t b0 = nb * t / T, b1 = nb * (t + 1) / T;
+        for (int64_t b = b0; b < b1; ++b) {
+            const int64_t s = h->bin_start[b], c = h->bin_count[b];
+            const int64_t d = h->bin_dst[b];
+            const int64_t padded = ((c + chunk - 1) / chunk) * chunk;
+            for (int64_t j = 0; j < c; ++j) {
+                const uint64_t k = h->keys_sorted[s + j];
+                const int64_t grp = (int64_t)(k / W);
+                const int64_t r = (int64_t)(k - (uint64_t)grp * W);
+                perm[d + j] = h->identity ? (s + j) : h->sortperm[s + j];
+                lr[d + j] = (int32_t)(r % window);
+                gr[d + j] = (int32_t)r;
+            }
+            for (int64_t j = c; j < padded; ++j) {
+                perm[d + j] = -1;
+                lr[d + j] = (int32_t)window;
+                gr[d + j] = (int32_t)h->num_rows;
+            }
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < T; ++t) ts.emplace_back(fill_range, t);
+    fill_range(0);
+    for (auto& th : ts) th.join();
+}
+
+void pgsd_plan_free(void* hp) { delete (PlanHandle*)hp; }
+
+// ---------- threaded permute-gather ----------
+//
+// permute_edge_data's per-array numpy fancy gather (out[i] =
+// src[perm[i]] with -1 -> 0) costs ~1.2s per 24M-row array; this is the
+// same gather, threaded, for 4- and 8-byte elements.
+
+void pgsd_permute_gather(const int64_t* perm, int64_t total,
+                         const char* src, char* out, int64_t elem_size) {
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = (total >= (1 << 21) && hw > 1) ? (int)std::min(hw, 4u)
+                                                 : 1;
+    auto run = [&](int t) {
+        const int64_t lo = total * t / T, hi = total * (t + 1) / T;
+        if (elem_size == 4) {
+            const uint32_t* s = (const uint32_t*)src;
+            uint32_t* o = (uint32_t*)out;
+            for (int64_t i = lo; i < hi; ++i)
+                o[i] = perm[i] >= 0 ? s[perm[i]] : 0u;
+        } else {
+            const uint64_t* s = (const uint64_t*)src;
+            uint64_t* o = (uint64_t*)out;
+            for (int64_t i = lo; i < hi; ++i)
+                o[i] = perm[i] >= 0 ? s[perm[i]] : 0ull;
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < T; ++t) ts.emplace_back(run, t);
+    run(0);
+    for (auto& th : ts) th.join();
+}
+
 }  // extern "C"

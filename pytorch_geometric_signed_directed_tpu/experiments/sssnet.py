@@ -80,13 +80,18 @@ def main(argv=None):
         rng = np.random.default_rng(args.seed)
 
         def batch_fn():
-            return (sample_triplets(np.asarray(data.y), n, 200, rng),)
+            # operators + loss ride as jit ARGUMENTS (pytrees), not
+            # closure constants: at wikirfa scale the dense tier is
+            # 233MB per operator and constants overflow the
+            # remote-compile transport
+            return (sample_triplets(np.asarray(data.y), n, 200, rng),
+                    P_p, P_n, pbnc)
 
-        def loss_fn(p, triplets):
-            z, logp, _, prob = model.apply(p, P_p, P_n, x)
+        def loss_fn(p, triplets, Pp, Pn, bal):
+            z, logp, _, prob = model.apply(p, Pp, Pn, x)
             nll = -jnp.mean(logp[train_idx, y[train_idx]])
             tl = triplet_loss_inner_product(z, *triplets)
-            return 50.0 * (nll + 0.1 * tl) + pbnc(prob)
+            return 50.0 * (nll + 0.1 * tl) + bal(prob)
 
         trainer = Trainer(loss_fn, lr=args.lr)
         state = trainer.fit(trainer.init(params), batch_fn, args.epochs)

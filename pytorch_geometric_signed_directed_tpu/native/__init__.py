@@ -87,6 +87,30 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
     ]
+    lib.pgsd_plan_build.restype = ctypes.c_void_p
+    lib.pgsd_plan_build.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p,  # group int8* or None
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64,
+    ]
+    for f in ("pgsd_plan_total", "pgsd_plan_chunks",
+              "pgsd_plan_hot_chunks"):
+        getattr(lib, f).restype = ctypes.c_int64
+        getattr(lib, f).argtypes = [ctypes.c_void_p]
+    lib.pgsd_plan_fill.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    ]
+    lib.pgsd_plan_free.argtypes = [ctypes.c_void_p]
+    lib.pgsd_permute_gather.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
     lib.pgsd_symmetrize.restype = ctypes.c_int64
     lib.pgsd_symmetrize.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -187,6 +211,63 @@ def coalesce(rows: np.ndarray, cols: np.ndarray, weights: np.ndarray,
     weights = np.ascontiguousarray(weights, np.float32).copy()
     out = lib.pgsd_coalesce(rows, cols, weights, len(rows), num_cols)
     return rows[:out], cols[:out], weights[:out]
+
+
+def plan_layout(row: np.ndarray, num_rows: int, window: int, chunk: int,
+                group: Optional[np.ndarray] = None) -> Optional[dict]:
+    """Fused MXU scatter-plan layout (the whole of
+    ops/pallas/scatter_mxu._build_plan_host after geometry selection):
+    one stable radix argsort by the (group-major, window, local-row)
+    composite key + one threaded bin-layout pass.  Bit-identical to the
+    numpy pipeline (asserted in tests/test_native.py).  Returns the
+    host-plan dict fields (perm, lr, gr, win, visited, hot_chunks) or
+    None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    e = len(row)
+    ngrp = 1 if group is None else 2
+    gptr = None
+    garr = None
+    if group is not None:
+        garr = np.ascontiguousarray(group, np.int8)
+        gptr = garr.ctypes.data_as(ctypes.c_void_p)
+    h = lib.pgsd_plan_build(row, gptr, e, int(num_rows), int(window),
+                            int(chunk), ngrp)
+    try:
+        total = lib.pgsd_plan_total(h)
+        nchunks = lib.pgsd_plan_chunks(h)
+        hot = lib.pgsd_plan_hot_chunks(h)
+        perm = np.empty(total, np.int64)
+        lr = np.empty(total, np.int32)
+        gr = np.empty(total, np.int32)
+        win = np.empty(nchunks, np.int32)
+        num_windows = (max(num_rows, 1) + window - 1) // window
+        visited = np.empty(num_windows, np.uint8)
+        lib.pgsd_plan_fill(h, perm, lr, gr, win, visited)
+    finally:
+        lib.pgsd_plan_free(h)
+    return dict(perm=perm, lr=lr, gr=gr, win=win,
+                visited=visited.astype(bool), window=window, chunk=chunk,
+                num_windows=int(num_windows), num_edges=e,
+                num_rows=num_rows, hot_chunks=int(hot))
+
+
+def permute_gather(perm: np.ndarray, src: np.ndarray
+                   ) -> Optional[np.ndarray]:
+    """out[i] = src[perm[i]] (perm -1 -> 0), threaded, for 4/8-byte
+    1-D arrays; None if unavailable or unsupported dtype."""
+    lib = _load()
+    if lib is None or src.ndim != 1 or src.itemsize not in (4, 8):
+        return None
+    perm = np.ascontiguousarray(perm, np.int64)
+    src = np.ascontiguousarray(src)
+    out = np.empty(len(perm), src.dtype)
+    lib.pgsd_permute_gather(
+        perm, len(perm), src.ctypes.data_as(ctypes.c_char_p),
+        out.ctypes.data_as(ctypes.c_char_p), src.itemsize)
+    return out
 
 
 def symmetrize(row: np.ndarray, col: np.ndarray, w: np.ndarray,

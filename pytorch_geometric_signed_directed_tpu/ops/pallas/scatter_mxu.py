@@ -135,10 +135,27 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     (window ids non-decreasing within each section) — the layout of the
     hot/cold column split (see col_degree_split).
     """
+    from ... import native
     from ...native import stable_argsort
 
     row = np.asarray(row, np.int64)
     e = len(row)
+    if window is None and chunk is None:
+        # histogram-based; row/group order is irrelevant, only alignment
+        window, chunk = _pick_geometry(row, num_rows,
+                                       None if group is None
+                                       else np.asarray(group))
+    window = WINDOW if window is None else window
+    if chunk is None:
+        chunk = CHUNK
+    if e >= (1 << 20):
+        # fused native layout: one radix argsort by the (group-major,
+        # window, local-row) key + one threaded bin pass — bit-identical
+        # to the numpy pipeline below (tests/test_native.py), ~6x faster
+        # at WikiTalk scale
+        h = native.plan_layout(row, num_rows, window, chunk, group)
+        if h is not None:
+            return h
     if e < 2 or np.all(row[1:] >= row[:-1]):   # pre-sorted fast path
         order = np.arange(e, dtype=np.int64)
         row_sorted = row
@@ -146,11 +163,6 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
         order = stable_argsort(row)
         row_sorted = row[order]
     grp_sorted = None if group is None else np.asarray(group)[order]
-    if window is None and chunk is None:
-        window, chunk = _pick_geometry(row_sorted, num_rows, grp_sorted)
-    window = WINDOW if window is None else window
-    if chunk is None:
-        chunk = CHUNK
     assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
     assert window % WINDOW == 0, f"window must be a multiple of {WINDOW}"
     num_windows = _round_up(max(num_rows, 1), window) // window

@@ -265,7 +265,10 @@ def _local_apply(S: ShardedMXU, x, make_msgs, gather_dtype=None):
             mask = jnp.repeat(visited, window)[:rows_per]
             out = jnp.where(mask[:, None], out[:rows_per], 0.0)
             if gather_dtype is not None:
-                out = out.astype(gather_dtype)
+                # barrier keeps XLA from hoisting the consumer's upcast
+                # above the collective (which would re-widen the payload)
+                out = jax.lax.optimization_barrier(
+                    out.astype(gather_dtype))
             return jax.lax.all_gather(out, axis, axis=0, tiled=True)
         sub = lr.shape[0] // win.shape[0]
         chunk = sub * SUB
@@ -290,7 +293,7 @@ def _local_apply(S: ShardedMXU, x, make_msgs, gather_dtype=None):
                 precision=_kernel_precision(msgs.dtype, prec))
         out = out[:rows_per]
         if gather_dtype is not None:
-            out = out.astype(gather_dtype)
+            out = jax.lax.optimization_barrier(out.astype(gather_dtype))
         return jax.lax.all_gather(out, axis, axis=0, tiled=True)
 
     args = (S.win, S.local_rows, S.visited, S.col, S.val)

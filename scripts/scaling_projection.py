@@ -86,15 +86,57 @@ def _shape_bytes(shapes: str) -> int:
     return total
 
 
-def collective_bytes(hlo: str):
+_STABLE_RE = re.compile(
+    r"stablehlo\.(all_gather|all_reduce|reduce_scatter|collective_permute|"
+    r"all_to_all)\"?\(.*?->\s*tensor<([0-9x]*)x?([a-z0-9]+)>")
+
+
+def _stable_payloads(stablehlo: str):
+    """(kind, numel) -> payload element bytes from the lowered module.
+
+    The manual (shard_map) collectives carry their true payload dtype
+    here; the CPU backend's simplifier re-widens bf16 collectives to f32
+    in the compiled text (verified: the lowered module shows
+    convert->bf16 -> all_gather), so the lowered dtype is the one a TPU
+    partition would move."""
+    out = {}
+    for m in _STABLE_RE.finditer(stablehlo):
+        kind = m.group(1).replace("_", "-").replace("all-to-all",
+                                                    "all-to-all")
+        dims, dt = m.group(2), m.group(3)
+        n = 1
+        for d in dims.split("x"):
+            if d:
+                n *= int(d)
+        if dt in _DTYPE_BYTES:
+            out[(kind, n)] = _DTYPE_BYTES[dt]
+    return out
+
+
+def collective_bytes(hlo: str, stablehlo: str = ""):
     """Per-device bytes-on-wire per collective kind (ring algorithms),
-    from the post-SPMD HLO text."""
+    from the post-SPMD HLO text, with payload dtypes corrected from the
+    lowered module where a matching manual collective exists."""
     out = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
            "collective-permute": 0, "all-to-all": 0}
     counts = dict.fromkeys(out, 0)
+    payloads = _stable_payloads(stablehlo)
     for m in _COLLECTIVE_RE.finditer(hlo):
         shapes, kind = m.group(1), m.group(2)
         s = _shape_bytes(shapes)
+        numel = 0
+        for mm in re.finditer(r"[a-z0-9]+\[([0-9,]*)\]", shapes):
+            k = 1
+            for d in mm.group(1).split(","):
+                if d:
+                    k *= int(d)
+            numel += k
+        skind = {"all-gather": "all-gather", "all-reduce": "all-reduce",
+                 "reduce-scatter": "reduce-scatter",
+                 "collective-permute": "collective-permute",
+                 "all-to-all": "all-to-all"}[kind]
+        if (skind, numel) in payloads and numel:
+            s = numel * payloads[(skind, numel)]
         d = NDEV
         if kind == "all-reduce":
             wire = 2 * s * (d - 1) / d
@@ -162,8 +204,10 @@ def hlo_magnet_mxu(n=65536, avg_deg=30):
 
     step, args = _train_step(loss_fn, params, (x, lap_sh, y))
     with mesh:
-        compiled = jax.jit(step).lower(*args).compile()
-    return compiled.as_text(), e
+        lowered = jax.jit(step).lower(*args)
+        stable = lowered.as_text()
+        compiled = lowered.compile()
+    return compiled.as_text(), stable, e
 
 
 def hlo_snea(n=16384):
@@ -192,8 +236,10 @@ def hlo_snea(n=16384):
     params = model.init(jax.random.PRNGKey(0), graphs)
     step, args = _train_step(loss_fn, params, sgraphs)
     with mesh:
-        compiled = jax.jit(step).lower(*args).compile()
-    return compiled.as_text(), e
+        lowered = jax.jit(step).lower(*args)
+        stable = lowered.as_text()
+        compiled = lowered.compile()
+    return compiled.as_text(), stable, e
 
 
 def hlo_sgcn(n=131072, e_pos=600000, e_neg=120000):
@@ -225,8 +271,10 @@ def hlo_sgcn(n=131072, e_pos=600000, e_neg=120000):
     params = model.init(jax.random.PRNGKey(0), P_pos, P_neg)
     step, args = _train_step(loss_fn, params, (Pp, Pn))
     with mesh:
-        compiled = jax.jit(step).lower(*args).compile()
-    return compiled.as_text(), m
+        lowered = jax.jit(step).lower(*args)
+        stable = lowered.as_text()
+        compiled = lowered.compile()
+    return compiled.as_text(), stable, m
 
 
 # Driver-captured single-chip step seconds on the real v5e chip
@@ -249,8 +297,8 @@ def main():
                 "sgcn": hlo_sgcn}
     rows = []
     for name in a.configs:
-        hlo, e = builders[name]()
-        bytes_by_kind, counts = collective_bytes(hlo)
+        hlo, stable, e = builders[name]()
+        bytes_by_kind, counts = collective_bytes(hlo, stable)
         wire = sum(bytes_by_kind.values())
         t1 = R4_STEP_SECONDS[name]
         t_c8 = t1 / NDEV

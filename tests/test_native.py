@@ -176,3 +176,58 @@ def test_native_magnetic_sym_lap_matches_core(lib_ok, signed,
     np.testing.assert_array_equal(np.stack([orow, ocol]), ref_ei)
     np.testing.assert_allclose(wre, ref_re, atol=1e-12)
     np.testing.assert_allclose(wim, ref_im, atol=1e-12)
+
+
+@pytest.mark.parametrize("grouped,sort_input,window,chunk",
+                         [(False, False, 128, 1024),
+                          (False, True, 512, 2048),
+                          (True, False, 128, 1024),
+                          (True, True, 512, 2048)])
+def test_native_plan_layout_bit_exact(lib_ok, grouped, sort_input,
+                                      window, chunk):
+    """native.plan_layout == the numpy _build_plan_host pipeline,
+    bit-for-bit (perm/lr/gr/win/visited/hot_chunks), grouped and
+    ungrouped, sorted and unsorted inputs."""
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+        scatter_mxu as sm)
+
+    rng = np.random.default_rng(7)
+    n, e = 2000, 30000
+    row = rng.integers(0, n, e).astype(np.int64)
+    if sort_input:
+        row = np.sort(row)
+    grp = (rng.random(e) < 0.3).astype(np.int8) if grouped else None
+
+    # numpy reference: run _build_plan_host with the native path disabled
+    orig = native.plan_layout
+    native.plan_layout = lambda *a, **k: None
+    try:
+        hN = sm._build_plan_host(row, n, chunk=chunk, window=window,
+                                 group=grp)
+    finally:
+        native.plan_layout = orig
+
+    hC = native.plan_layout(row, n, window, chunk, grp)
+    assert hC is not None
+    for k in ("perm", "lr", "gr", "win"):
+        np.testing.assert_array_equal(hN[k], hC[k], err_msg=k)
+    np.testing.assert_array_equal(hN["visited"], hC["visited"])
+    assert hN["hot_chunks"] == hC["hot_chunks"]
+    assert hN["num_windows"] == hC["num_windows"]
+
+
+def test_native_permute_gather_matches_numpy(lib_ok):
+    from pytorch_geometric_signed_directed_tpu.ops.pallas import (
+        scatter_mxu as sm)
+
+    rng = np.random.default_rng(8)
+    e, total = 5000, 6144
+    perm = np.full(total, -1, np.int64)
+    idx = rng.choice(total, e, replace=False)
+    perm[idx] = rng.permutation(e)
+    for dtype in (np.int32, np.float32, np.int64, np.float64):
+        src = (rng.standard_normal(e) * 100).astype(dtype)
+        ref, = sm.permute_edge_data(perm, src)
+        out = native.permute_gather(perm, src)
+        assert out is not None
+        np.testing.assert_array_equal(ref, out)
