@@ -254,81 +254,82 @@ def _signed_edge_array(n, e_pos, e_neg, rng):
 
 def bench_sigat(n, e_pos, e_neg, steps):
     """SiGAT at bitcoin_alpha scale (N=3783, 22650+/1536- edges): 38
-    motif attends per forward — the most per-call-overhead-bound shape
-    in the zoo. vs_baseline = fused motif stack (one scatter over a
-    38*N row space, nn/signed/motif_stack.py) over the sequential
-    per-motif GATConv loop."""
+    motif attends per forward. The per-motif loop is the DEFAULT path
+    (the round-5 motif-stack fusion measured 0.85x at this scale — the
+    per-motif [N, F] tables are cache-resident while the fused [38N, F]
+    table pushes every gather to the HBM floor; recorded negative,
+    PERF.md round 5). vs_baseline = Pallas scatter-plan aggregation
+    over the XLA segment-softmax tier, as in the snea metric."""
     import jax
     import jax.numpy as jnp
     from pytorch_geometric_signed_directed_tpu.nn import SiGAT
+    from pytorch_geometric_signed_directed_tpu.nn.signed import snea_conv
     from pytorch_geometric_signed_directed_tpu.nn.signed.sigat import (
         prepare_sigat_inputs)
 
     rng = np.random.default_rng(0)
     edges = _signed_edge_array(n, e_pos, e_neg, rng)
     e = e_pos + e_neg
-    pos, neg, emb, stack = prepare_sigat_inputs(n, edges, in_dim=20,
-                                                fused=True)
-    _, _, _, graphs = prepare_sigat_inputs(n, edges, in_dim=20,
-                                           init_emb=emb, fused=False)
+    pos, neg, emb, graphs = prepare_sigat_inputs(n, edges, in_dim=20)
     pos_j, neg_j = jnp.asarray(pos), jnp.asarray(neg)
-    motif_edges = int(stack.g.plan.num_edges)
+    motif_edges = sum(int(g.plan.num_edges) for g in graphs)
     model = SiGAT(node_num=n, in_dim=20, out_dim=20, init_emb=emb)
 
-    def run_one(g):
-        def loss_fn(p, g_):
-            return model.apply(p, g_, pos_j, neg_j, method=SiGAT.loss)
+    def loss_fn(p, g_):
+        return model.apply(p, g_, pos_j, neg_j, method=SiGAT.loss)
 
-        params = model.init(jax.random.PRNGKey(0), g, pos_j, neg_j,
-                            method=SiGAT.loss)
-        run, st = _train_scanner(loss_fn, params, steps, aux=g)
-        return _sync_time(run, *st, steps=steps)
-
-    dt = run_one(stack)
-    dt_b = run_one(graphs)
+    params = model.init(jax.random.PRNGKey(0), graphs, pos_j, neg_j,
+                        method=SiGAT.loss)
+    run, st = _train_scanner(loss_fn, params, steps, aux=graphs)
+    dt = _sync_time(run, *st, steps=steps)
+    snea_conv.AGGREGATE_BACKEND = "xla"
+    try:
+        run_b, st_b = _train_scanner(loss_fn, params, steps, aux=graphs)
+        dt_b = _sync_time(run_b, *st_b, steps=steps)
+    finally:
+        snea_conv.AGGREGATE_BACKEND = "mxu"
     _emit("sigat_train_edges_per_s_per_chip", e, dt, dt_b,
           f"input edges/s, N={n}, E={e} signed, 38 motif graphs "
-          f"({motif_edges} motif edges), fused stack; baseline = "
-          f"sequential 38-attend loop")
+          f"({motif_edges} motif edges)")
 
 
 def bench_sdgnn(n, e_pos, e_neg, steps):
     """SDGNN at bitcoin_alpha scale: 4 motif attends x 2 layers +
-    sign/direction/triangle loss. vs_baseline = fused motif stack over
-    the sequential per-motif loop."""
+    sign/direction/triangle loss. Sequential per-motif path (see
+    bench_sigat); vs_baseline = Pallas over XLA segment tier."""
     import jax
     import jax.numpy as jnp
     from pytorch_geometric_signed_directed_tpu.nn import SDGNN
+    from pytorch_geometric_signed_directed_tpu.nn.signed import snea_conv
     from pytorch_geometric_signed_directed_tpu.nn.signed.sdgnn import (
         prepare_sdgnn_inputs)
 
     rng = np.random.default_rng(0)
     edges = _signed_edge_array(n, e_pos, e_neg, rng)
     e = e_pos + e_neg
-    pos, neg, emb, stack, w_pos, w_neg = prepare_sdgnn_inputs(
-        n, edges, in_dim=20, fused=True)
-    _, _, _, graphs, _, _ = prepare_sdgnn_inputs(
-        n, edges, in_dim=20, init_emb=emb, fused=False)
+    pos, neg, emb, graphs, w_pos, w_neg = prepare_sdgnn_inputs(
+        n, edges, in_dim=20)
     aux_j = (jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(w_pos),
              jnp.asarray(w_neg))
     model = SDGNN(node_num=n, in_dim=20, out_dim=20, layer_num=2,
                   init_emb=emb)
 
-    def run_one(g):
-        def loss_fn(p, g_):
-            return model.apply(p, g_, *aux_j, method=SDGNN.loss)
+    def loss_fn(p, g_):
+        return model.apply(p, g_, *aux_j, method=SDGNN.loss)
 
-        params = model.init(jax.random.PRNGKey(0), g, *aux_j,
-                            method=SDGNN.loss)
-        run, st = _train_scanner(loss_fn, params, steps, aux=g)
-        return _sync_time(run, *st, steps=steps)
-
-    dt = run_one(stack)
-    dt_b = run_one(graphs)
+    params = model.init(jax.random.PRNGKey(0), graphs, *aux_j,
+                        method=SDGNN.loss)
+    run, st = _train_scanner(loss_fn, params, steps, aux=graphs)
+    dt = _sync_time(run, *st, steps=steps)
+    snea_conv.AGGREGATE_BACKEND = "xla"
+    try:
+        run_b, st_b = _train_scanner(loss_fn, params, steps, aux=graphs)
+        dt_b = _sync_time(run_b, *st_b, steps=steps)
+    finally:
+        snea_conv.AGGREGATE_BACKEND = "mxu"
     _emit("sdgnn_train_edges_per_s_per_chip", e, dt, dt_b,
           f"input edges/s, N={n}, E={e} signed, 4 motif graphs x 2 "
-          f"layers + sign/direction/triangle loss, fused stack; "
-          f"baseline = sequential per-motif loop")
+          f"layers + sign/direction/triangle loss")
 
 
 def bench_digcl(n, avg_deg, steps, batch_size=4096, base_batch=1024):

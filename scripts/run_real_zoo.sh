@@ -20,6 +20,6 @@ done
 for seed in 0 1 2; do
   run python -m pytorch_geometric_signed_directed_tpu.experiments.msgnn_link --dataset FiLL-pvCLCL2015 --sparsify_level 0.2 --epochs 500 --seed $seed
   run python -m pytorch_geometric_signed_directed_tpu.experiments.msgnn_link --dataset FiLL-OPCL2015 --sparsify_level 0.2 --epochs 500 --seed $seed
-  run python -m pytorch_geometric_signed_directed_tpu.experiments.msgnn_link --dataset fin_ynet2015 --epochs 500 --seed $seed
+  run python -m pytorch_geometric_signed_directed_tpu.experiments.msgnn_link --dataset fin_ynet2015 --task sign --epochs 500 --seed $seed
 done
 echo DONE >> $LOG
