@@ -150,7 +150,13 @@ class DiGCL(nn.Module):
         valid = idx < num_nodes
         idx = jnp.minimum(idx, num_nodes - 1).reshape(num_batches, batch_size)
 
+        @jax.checkpoint
         def body(mask_idx):
+            # rematerialized: without checkpoint the lax.map backward
+            # stores every batch's [B, N] similarity blocks
+            # (num_batches x 2 x B x N floats — ~17 GB at N=65536,
+            # B=4096), overflowing HBM; recomputing them in the
+            # backward trades ~2x the matmul FLOPs for O(B*N) memory
             zb = z1[mask_idx]
             refl = f(self.sim(zb, z1))  # [B, N]
             between = f(self.sim(zb, z2))
