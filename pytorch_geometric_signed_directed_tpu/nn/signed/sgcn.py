@@ -29,14 +29,48 @@ def split_signed_edges(edge_index_s: np.ndarray):
     return pos.astype(np.int64), neg.astype(np.int64)
 
 
+def sgcn_dual_propagator(pos_edge_index, neg_edge_index, node_num: int,
+                         mode: str = "mxu"):
+    """Fuse the two mean propagators into ONE operator over the union
+    edge set: val_a = 1/deg_pos(dst) on positive edges (0 on negative),
+    val_b symmetric.  [P_pos x_a | P_neg x_b] then runs as one gather +
+    one scatter (dual_spmm_stacked), halving the apply count of every
+    SGCN layer (first layer 2 -> 1, deep layers 4 -> 2).  Returns None
+    where fusion buys nothing (dense tier)."""
+    from ...ops.spmm import dual_propagator
+
+    rp, cp = np.asarray(pos_edge_index[1]), np.asarray(pos_edge_index[0])
+    rn, cn = np.asarray(neg_edge_index[1]), np.asarray(neg_edge_index[0])
+    cntp = np.bincount(rp, minlength=node_num).astype(np.float64)
+    cntp[cntp == 0] = 1.0
+    cntn = np.bincount(rn, minlength=node_num).astype(np.float64)
+    cntn[cntn == 0] = 1.0
+    row = np.concatenate([rp, rn])
+    col = np.concatenate([cp, cn])
+    va = np.concatenate([1.0 / cntp[rp], np.zeros(len(rn))])
+    vb = np.concatenate([np.zeros(len(rp)), 1.0 / cntn[rn]])
+    return dual_propagator(row, col, va, vb, num_nodes=node_num,
+                           mode=mode)
+
+
 def prepare_sgcn_inputs(node_num: int, edge_index_s, in_dim: int = 64,
                         init_emb: Optional[np.ndarray] = None,
-                        mode: str = "auto"):
-    """Host-side setup mirroring the reference constructor (:47-66)."""
+                        mode: str = "auto", fused: bool = False):
+    """Host-side setup mirroring the reference constructor (:47-66).
+
+    fused=True returns (pos, neg, emb, D, None) with D a union-edge-set
+    DualPropagator (see sgcn_dual_propagator) instead of two separate
+    mean propagators; SGCNConv dispatches on the type.  Falls back to
+    the separate pair on tiers where fusion buys nothing."""
     pos_edge_index, neg_edge_index = split_signed_edges(edge_index_s)
     if init_emb is None:
         init_emb = create_spectral_features(pos_edge_index, neg_edge_index,
                                             node_num, in_dim)
+    if fused:
+        D = sgcn_dual_propagator(pos_edge_index, neg_edge_index, node_num,
+                                 mode=mode if mode != "auto" else "mxu")
+        if D is not None:
+            return pos_edge_index, neg_edge_index, init_emb, D, None
     P_pos = mean_propagator(pos_edge_index, node_num, mode=mode)
     P_neg = mean_propagator(neg_edge_index, node_num, mode=mode)
     return pos_edge_index, neg_edge_index, init_emb, P_pos, P_neg

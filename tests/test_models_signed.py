@@ -448,3 +448,35 @@ class TestSNEAPairFusion:
         np.testing.assert_allclose(np.asarray(out_fused),
                                    np.asarray(out_two),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_sgcn_fused_dual_matches_separate():
+    """SGCN with the union-edge-set DualPropagator (one gather+scatter
+    per layer-half) == SGCN with two separate mean propagators."""
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        DualPropagator)
+
+    rng = np.random.default_rng(11)
+    n, e = 80, 400
+    edges = np.column_stack([rng.integers(0, n, e), rng.integers(0, n, e),
+                             rng.choice([-1, 1], e)]).astype(np.int64)
+    pos, neg, emb, P_pos, P_neg = prepare_sgcn_inputs(
+        n, edges, in_dim=8, mode="mxu")
+    _, _, _, D, none = prepare_sgcn_inputs(
+        n, edges, in_dim=8, init_emb=emb, mode="mxu", fused=True)
+    assert none is None and isinstance(D, DualPropagator)
+    model = SGCN(node_num=n, in_dim=8, out_dim=8, layer_num=3,
+                 init_emb=emb)
+    params = model.init(jax.random.PRNGKey(0), P_pos, P_neg)
+    z_sep = model.apply(params, P_pos, P_neg)
+    z_fused = model.apply(params, D, None)
+    np.testing.assert_allclose(np.asarray(z_fused), np.asarray(z_sep),
+                               rtol=1e-4, atol=1e-5)
+    # gradients through the fused path match too
+    g_sep = jax.grad(lambda p: (model.apply(p, P_pos, P_neg) ** 2).sum()
+                     )(params)
+    g_fused = jax.grad(lambda p: (model.apply(p, D, None) ** 2).sum()
+                       )(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_sep)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

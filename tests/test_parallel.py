@@ -548,3 +548,40 @@ def test_multiprocess_parity():
         env=env, cwd=repo, timeout=1500, capture_output=True, text=True)
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert '"multiprocess_ok": true' in r.stdout
+
+
+def test_sgcn_fused_dual_sharded_parity():
+    """SGCN over the round-5 fused union-edge-set dual, sharded via
+    shard_dual, matches the flat fused path (fwd + grad norm)."""
+    import optax
+    from pytorch_geometric_signed_directed_tpu.nn import SGCN
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sgcn import (
+        prepare_sgcn_inputs)
+    from pytorch_geometric_signed_directed_tpu.parallel import (
+        make_mesh, shard_dual)
+
+    rng = np.random.default_rng(21)
+    n, e = 256, 2000
+    edges = np.column_stack([rng.integers(0, n, e), rng.integers(0, n, e),
+                             rng.choice([-1, 1], e)]).astype(np.int64)
+    _, _, emb, D, none = prepare_sgcn_inputs(n, edges, in_dim=8,
+                                             mode="mxu", fused=True)
+    assert none is None
+    model = SGCN(node_num=n, in_dim=8, out_dim=8, layer_num=2,
+                 init_emb=emb)
+    params = model.init(jax.random.PRNGKey(0), D, None)
+    mesh = make_mesh(8, axis_names=("graph",))
+    D_sh = shard_dual(D, mesh)
+    assert D_sh.mode == "mxu_sharded"
+
+    def loss(p, dd):
+        return (model.apply(p, dd, None) ** 2).sum()
+
+    with mesh:
+        l_sh = jax.jit(loss)(params, D_sh)
+        g_sh = jax.jit(jax.grad(loss))(params, D_sh)
+    l_f = jax.jit(loss)(params, D)
+    g_f = jax.jit(jax.grad(loss))(params, D)
+    assert abs(float(l_sh) - float(l_f)) / max(1.0, abs(float(l_f))) < 1e-5
+    dn = abs(float(optax.global_norm(g_sh)) - float(optax.global_norm(g_f)))
+    assert dn / max(1.0, float(optax.global_norm(g_f))) < 1e-5
