@@ -469,10 +469,36 @@ void* pgsd_plan_build(const int64_t* row, const int8_t* group, int64_t e,
     bool sorted = true;
     for (int64_t i = 1; i < e; ++i)
         if (key_at(i) < key_at(i - 1)) { sorted = false; break; }
+    bool sorted_by_row = sorted;
+    if (!sorted && ngrp == 2) {
+        sorted_by_row = true;
+        for (int64_t i = 1; i < e; ++i)
+            if (row[i] < row[i - 1]) { sorted_by_row = false; break; }
+    }
     h->identity = sorted;
     if (sorted) {
         h->keys_sorted.resize(e);
         for (int64_t i = 0; i < e; ++i) h->keys_sorted[i] = key_at(i);
+    } else if (ngrp == 2 && sorted_by_row) {
+        // group-major order over a row-sorted stream is a STABLE 2-way
+        // partition — one O(E) pass instead of a full radix sort (the
+        // Laplacian builders always emit row-sorted edges, so this is
+        // the hot/cold col-split plan's common case)
+        int64_t n0 = 0;
+        for (int64_t i = 0; i < e; ++i)
+            if (!group[i]) ++n0;
+        h->keys_sorted.resize(e);
+        h->sortperm.resize(e);
+        int64_t c0 = 0, c1 = n0;
+        for (int64_t i = 0; i < e; ++i) {
+            if (!group[i]) {
+                h->sortperm[c0] = i;
+                h->keys_sorted[c0++] = (uint64_t)row[i];
+            } else {
+                h->sortperm[c1] = i;
+                h->keys_sorted[c1++] = (uint64_t)row[i] + W;
+            }
+        }
     } else {
         std::vector<uint64_t> keys(e);
         for (int64_t i = 0; i < e; ++i) keys[i] = key_at(i);
@@ -579,6 +605,44 @@ void pgsd_plan_fill(void* hp, int64_t* perm, int32_t* lr, int32_t* gr,
 }
 
 void pgsd_plan_free(void* hp) { delete (PlanHandle*)hp; }
+
+// ---------- windowed degree histogram (geometry selection) ----------
+//
+// _pick_geometry's finest-window histogram (bincount of
+// (row >> 7) * ngrp + grp over the edge list) costs ~3s of numpy
+// passes at 22M edges; one threaded pass here.
+
+void pgsd_window_hist(const int64_t* row, const int8_t* grp, int64_t e,
+                      int64_t nbins, int64_t ngrp, int64_t* out) {
+    unsigned hw = std::thread::hardware_concurrency();
+    const int T = (e >= (1 << 21) && hw > 1) ? (int)std::min(hw, 4u) : 1;
+    std::vector<std::vector<int64_t>> partial(
+        T, std::vector<int64_t>(nbins, 0));
+    auto run = [&](int t) {
+        const int64_t lo = e * t / T, hi = e * (t + 1) / T;
+        auto& h = partial[t];
+        if (ngrp == 2 && grp) {
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t b = (row[i] >> 7) * 2 + (grp[i] ? 1 : 0);
+                if (b >= 0 && b < nbins) ++h[b];
+            }
+        } else {
+            for (int64_t i = lo; i < hi; ++i) {
+                int64_t b = row[i] >> 7;
+                if (b >= 0 && b < nbins) ++h[b];
+            }
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < T; ++t) ts.emplace_back(run, t);
+    run(0);
+    for (auto& th : ts) th.join();
+    for (int64_t b = 0; b < nbins; ++b) {
+        int64_t acc = 0;
+        for (int t = 0; t < T; ++t) acc += partial[t][b];
+        out[b] = acc;
+    }
+}
 
 // ---------- threaded permute-gather ----------
 //

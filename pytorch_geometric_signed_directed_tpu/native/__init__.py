@@ -107,6 +107,12 @@ def _load() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
     ]
     lib.pgsd_plan_free.argtypes = [ctypes.c_void_p]
+    lib.pgsd_window_hist.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p,  # grp int8* or None
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
     lib.pgsd_permute_gather.argtypes = [
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
@@ -252,6 +258,25 @@ def plan_layout(row: np.ndarray, num_rows: int, window: int, chunk: int,
                 visited=visited.astype(bool), window=window, chunk=chunk,
                 num_windows=int(num_windows), num_edges=e,
                 num_rows=num_rows, hot_chunks=int(hot))
+
+
+def window_hist(row: np.ndarray, group: Optional[np.ndarray],
+                nbins: int) -> Optional[np.ndarray]:
+    """Threaded bincount of (row >> 7) * ngrp + grp (the finest-window
+    degree histogram of _pick_geometry); None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    row = np.ascontiguousarray(row, np.int64)
+    ngrp = 1 if group is None else 2
+    gptr = None
+    garr = None
+    if group is not None:
+        garr = np.ascontiguousarray(group, np.int8)
+        gptr = garr.ctypes.data_as(ctypes.c_void_p)
+    out = np.zeros(nbins, np.int64)
+    lib.pgsd_window_hist(row, gptr, len(row), nbins, ngrp, out)
+    return out
 
 
 def permute_gather(perm: np.ndarray, src: np.ndarray

@@ -70,12 +70,21 @@ def _pick_geometry(row_sorted: np.ndarray, num_rows: int,
     # pair-sums of it (row//256 == (row//128)//2) — the bincount over the
     # edge list is the dominant cost of geometry selection at giant scale.
     nw128 = _round_up(max(num_rows, 1), 512) // 128
-    bins128 = row_sorted // 128
-    if group_sorted is not None:
-        c128 = np.bincount(bins128 * 2 + group_sorted, minlength=nw128 * 2
-                           ).reshape(nw128, 2)
-    else:
-        c128 = np.bincount(bins128, minlength=nw128)[:, None]
+    c128 = None
+    if len(row_sorted) >= (1 << 20):
+        from ...native import window_hist
+
+        ngrp = 1 if group_sorted is None else 2
+        h = window_hist(row_sorted, group_sorted, nw128 * ngrp)
+        if h is not None:
+            c128 = h.reshape(nw128, ngrp)
+    if c128 is None:
+        bins128 = row_sorted // 128
+        if group_sorted is not None:
+            c128 = np.bincount(bins128 * 2 + group_sorted,
+                               minlength=nw128 * 2).reshape(nw128, 2)
+        else:
+            c128 = np.bincount(bins128, minlength=nw128)[:, None]
     for window in (128, 256, 512):
         f = window // 128
         counts = c128.reshape(nw128 // f, f, -1).sum(axis=1).ravel()
@@ -472,11 +481,20 @@ def split_scatter_accum(plan: ScatterPlan, col, make_msgs, x, x_hot,
 
 def permute_edge_data(perm: np.ndarray, *arrays) -> Tuple[np.ndarray, ...]:
     """Reorder per-edge host arrays into plan order (padding -> 0)."""
+    from ...native import permute_gather
+
     out = []
+    valid = None
     for a in arrays:
         a = np.asarray(a)
+        if len(perm) >= (1 << 20) and a.ndim == 1 and a.itemsize in (4, 8):
+            nat = permute_gather(perm, a)   # threaded native gather
+            if nat is not None:
+                out.append(nat)
+                continue
         padded = np.zeros((len(perm),) + a.shape[1:], a.dtype)
-        valid = perm >= 0
+        if valid is None:
+            valid = perm >= 0
         padded[valid] = a[perm[valid]]
         out.append(padded)
     return tuple(out)
