@@ -136,6 +136,41 @@ def rw_norm_propagator(edge_index, edge_weight=None,
     return propagator_from_coo(A, mode=mode)
 
 
+def rw_norm_dual_propagator(edge_index, edge_weight=None,
+                            num_nodes: Optional[int] = None,
+                            fill_value: float = 0.5,
+                            mode: str = "mxu"):
+    """Fuse DIMPA's two walk operators — P_s = rw_norm(A) and
+    P_t = rw_norm(A^T) — into ONE operator over the union of both edge
+    directions (val_a carries the forward normalization, 0 on reverse
+    entries; val_b symmetric), so [P_s x_s | P_t x_t] runs as one
+    gather + scatter per hop (ops.spmm.dual_spmm_stacked) — the same
+    union-edge-set trick as nn.signed.sgcn.sgcn_dual_propagator, taken
+    over direction instead of sign.  Returns None where fusion buys
+    nothing (dense tier)."""
+    from .ops.spmm import dual_propagator
+
+    edge_index, edge_weight, num_nodes = _as_numpy_graph(
+        edge_index, edge_weight, num_nodes)
+
+    def side(ei, w):
+        ei2, w2 = add_remaining_self_loops(ei, w, num_nodes, fill_value)
+        deg = np.bincount(ei2[0], weights=w2, minlength=num_nodes)
+        dinv = np.zeros_like(deg)
+        nz = deg > 0
+        dinv[nz] = 1.0 / deg[nz]
+        return ei2, dinv[ei2[0]] * w2
+
+    ei_s, norm_s = side(edge_index, edge_weight)
+    ei_t, norm_t = side(edge_index[[1, 0]], edge_weight)
+    row = np.concatenate([ei_s[0], ei_t[0]])
+    col = np.concatenate([ei_s[1], ei_t[1]])
+    va = np.concatenate([norm_s, np.zeros(len(norm_t))])
+    vb = np.concatenate([np.zeros(len(norm_s)), norm_t])
+    return dual_propagator(row, col, va, vb, num_nodes=num_nodes,
+                           mode=mode)
+
+
 def mean_propagator(edge_index, num_nodes: Optional[int] = None,
                     flow: str = "source_to_target",
                     mode: str = "auto") -> Propagator:

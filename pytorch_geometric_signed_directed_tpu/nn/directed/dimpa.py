@@ -28,11 +28,25 @@ class DIMPA(nn.Module):
     hop: int
 
     @nn.compact
-    def __call__(self, x_s, x_t, P_s: Propagator, P_t: Propagator):
+    def __call__(self, x_s, x_t, P_s, P_t=None):
+        """P_s/P_t: the two rw-normalized walk Propagators, OR P_s a
+        fused union-direction DualPropagator
+        (graph.rw_norm_dual_propagator) with P_t=None — each hop then
+        runs [P_s curr_s | P_t curr_t] as one gather + scatter."""
+        from ...ops.spmm import DualPropagator, dual_spmm_stacked
+
         w_s = self.param("_w_s", nn.initializers.ones, (self.hop + 1, 1))
         w_t = self.param("_w_t", nn.initializers.ones, (self.hop + 1, 1))
         feat_s = w_s[0] * x_s
         feat_t = w_t[0] * x_t
+        if isinstance(P_s, DualPropagator):
+            f = x_s.shape[-1]
+            curr = jnp.concatenate([x_s, x_t], axis=-1)
+            for h in range(1, self.hop + 1):
+                curr = dual_spmm_stacked(P_s, curr)
+                feat_s = feat_s + w_s[h] * curr[..., :f]
+                feat_t = feat_t + w_t[h] * curr[..., f:]
+            return jnp.concatenate([feat_s, feat_t], axis=1)
         curr_s, curr_t = x_s, x_t
         for h in range(1, self.hop + 1):
             curr_s = P_s(curr_s)

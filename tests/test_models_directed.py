@@ -363,3 +363,40 @@ class TestCrossTier:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(outs["dense"], outs["mxu"],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dimpa_fused_directional_dual_matches_separate():
+    """DIGRAC over the fused union-direction dual (one gather+scatter
+    per hop) == the separate P_s/P_t walk operators."""
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        rw_norm_dual_propagator, rw_norm_propagator)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        DIGRAC_node_clustering)
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        DualPropagator)
+
+    rng = np.random.default_rng(13)
+    n, e = 120, 900
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = rng.uniform(0.2, 2.0, e)
+    P_s = rw_norm_propagator(ei, w, n, 0.5, mode="mxu")
+    P_t = rw_norm_propagator(ei[[1, 0]], w, n, 0.5, mode="mxu")
+    D = rw_norm_dual_propagator(ei, w, n, 0.5, mode="mxu")
+    assert isinstance(D, DualPropagator)
+    x = jnp.asarray(rng.standard_normal((n, 6)), jnp.float32)
+    model = DIGRAC_node_clustering(num_features=6, hidden=8, nclass=3,
+                                   fill_value=0.5, dropout=0.0, hop=3)
+    params = model.init(jax.random.PRNGKey(0), P_s, P_t, x)
+    z_sep, logp_sep, _, prob_sep = model.apply(params, P_s, P_t, x)
+    z_f, logp_f, _, prob_f = model.apply(params, D, None, x)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_sep),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(prob_f), np.asarray(prob_sep),
+                               rtol=1e-4, atol=1e-5)
+    g_sep = jax.grad(lambda p: (model.apply(p, P_s, P_t, x)[0] ** 2).sum()
+                     )(params)
+    g_f = jax.grad(lambda p: (model.apply(p, D, None, x)[0] ** 2).sum()
+                   )(params)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_sep)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
