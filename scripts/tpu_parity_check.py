@@ -175,6 +175,94 @@ def main():
     check("spmm mxu vs scipy (N=4000)", P(jnp.asarray(x3)), S @ x3,
           atol=2e-4)
 
+    # --- round 5: fused SGCN union-edge-set dual ------------------------
+    from pytorch_geometric_signed_directed_tpu.nn.signed.sgcn import (
+        sgcn_dual_propagator, split_signed_edges)
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_spmm_stacked)
+
+    edges_s = np.column_stack([
+        rng.integers(0, 600, 3000), rng.integers(0, 600, 3000),
+        rng.choice([-1, 1], 3000)]).astype(np.int64)
+    pos, neg = split_signed_edges(edges_s)
+    Dsg = sgcn_dual_propagator(pos, neg, 600, mode="mxu")
+    xa = rng.standard_normal((600, 16)).astype(np.float32)
+    xb = rng.standard_normal((600, 16)).astype(np.float32)
+    y = dual_spmm_stacked(Dsg, jnp.asarray(np.concatenate([xa, xb], 1)))
+
+    def mean_mat(ei, nn_):
+        r, c = ei[1], ei[0]
+        cnt = np.bincount(r, minlength=nn_).astype(np.float64)
+        cnt[cnt == 0] = 1
+        return sp.coo_matrix((1.0 / cnt[r], (r, c)),
+                             shape=(nn_, nn_)).tocsr()
+
+    check("fused sgcn dual (pos lane)", np.asarray(y)[:, :16],
+          mean_mat(pos, 600) @ xa.astype(np.float64))
+    check("fused sgcn dual (neg lane)", np.asarray(y)[:, 16:],
+          mean_mat(neg, 600) @ xb.astype(np.float64))
+
+    # --- round 5: motif-stack fused attend (fwd + custom-VJP grads) -----
+    import flax.linen as fnn
+    from pytorch_geometric_signed_directed_tpu.nn.signed.motif_stack \
+        import build_motif_stack, motif_attend
+    from pytorch_geometric_signed_directed_tpu.nn.signed.snea_conv \
+        import attention_softmax_aggregate
+
+    Gm, nm, fm = 5, 200, 8
+    els = [np.vstack([rng.integers(0, nm, 300),
+                      rng.integers(0, nm, 300)]) for _ in range(Gm)]
+    ms = build_motif_stack(els, nm)
+    GN = Gm * nm
+    T = jnp.asarray(rng.standard_normal((GN, fm)), jnp.float32)
+    a_s = jnp.asarray(rng.standard_normal(GN), jnp.float32)
+    a_d = jnp.asarray(rng.standard_normal(GN), jnp.float32)
+
+    def ref_attend(T_, a_s_, a_d_):
+        srcm = jnp.minimum(ms.g.src, GN - 1)
+        dstm = jnp.minimum(ms.g.dst, GN - 1)
+        lg = fnn.leaky_relu(a_s_[srcm] + a_d_[dstm], 0.2)
+        return attention_softmax_aggregate(ms.g, lg, T_[srcm])
+
+    out_f = motif_attend(0.2, ms, T, a_s, a_d)
+    check("motif_attend fwd", out_f, np.asarray(ref_attend(T, a_s, a_d),
+                                                np.float64), atol=2e-5)
+    wv = jnp.asarray(rng.standard_normal(out_f.shape), jnp.float32)
+    gf = jax.grad(lambda *a: (motif_attend(0.2, ms, *a) * wv).sum(),
+                  argnums=(0, 1, 2))(T, a_s, a_d)
+    gr = jax.grad(lambda *a: (ref_attend(*a) * wv).sum(),
+                  argnums=(0, 1, 2))(T, a_s, a_d)
+    for (a, b, nm_) in zip(gf, gr, ("dT", "da_src", "da_dst")):
+        check(f"motif_attend grad {nm_}", a, np.asarray(b, np.float64),
+              atol=5e-5)
+
+    # --- round 5: SNEA pair fusion + XLA backend flag -------------------
+    from pytorch_geometric_signed_directed_tpu.nn.signed import snea_conv
+
+    gA = snea_conv.build_attention_graph(
+        [(np.vstack([rng.integers(0, 300, 1200),
+                     rng.integers(0, 300, 1200)]), 0, True)], 300)
+    eA = gA.src.shape[0]
+    l1 = jnp.asarray(rng.standard_normal(eA), jnp.float32)
+    l2 = jnp.asarray(rng.standard_normal(eA), jnp.float32)
+    m1 = jnp.asarray(rng.standard_normal((eA, 8)), jnp.float32)
+    m2 = jnp.asarray(rng.standard_normal((eA, 8)), jnp.float32)
+    o1, o2 = snea_conv.attention_softmax_aggregate_pair(gA, l1, m1, l2,
+                                                        m2)
+    r1 = snea_conv.attention_softmax_aggregate(gA, l1, m1)
+    r2 = snea_conv.attention_softmax_aggregate(gA, l2, m2)
+    check("snea pair fusion (lane 1)", o1, np.asarray(r1, np.float64),
+          atol=2e-5)
+    check("snea pair fusion (lane 2)", o2, np.asarray(r2, np.float64),
+          atol=2e-5)
+    snea_conv.AGGREGATE_BACKEND = "xla"
+    try:
+        x1 = snea_conv.attention_softmax_aggregate(gA, l1, m1)
+    finally:
+        snea_conv.AGGREGATE_BACKEND = "mxu"
+    check("snea xla-backend flag", x1, np.asarray(r1, np.float64),
+          atol=2e-5)
+
     print(f"\n{len(FAILS)} failures" if FAILS else "\nall parity checks ok",
           flush=True)
     sys.exit(1 if FAILS else 0)
