@@ -279,6 +279,52 @@ def hlo_sgcn(n=131072, e_pos=600000, e_neg=120000):
     return compiled.as_text(), stable, m
 
 
+def hlo_digrac(n=65536, e=2_000_000, k=5):
+    """bench digrac config: DIMPA trunk + imbalance loss, all four
+    operators (P_s, P_t and the raw A / A^T of the loss volumes)
+    row-sharded via shard_propagator."""
+    import jax
+    import jax.numpy as jnp
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        in_out_degree, norm_propagator, rw_norm_propagator)
+    from pytorch_geometric_signed_directed_tpu.nn import (
+        DIGRAC_node_clustering)
+    from pytorch_geometric_signed_directed_tpu.utils import (
+        Prob_Imbalance_Loss)
+    from pytorch_geometric_signed_directed_tpu.parallel import (
+        make_mesh, shard_propagator)
+
+    rng = np.random.default_rng(0)
+    ei = np.vstack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    w = np.ones(e, np.float32)
+    x = in_out_degree(ei, n, edge_weight=w)
+    x = jnp.asarray(x / max(x.max(), 1.0))
+    imb = Prob_Imbalance_Loss(k)
+    mesh = make_mesh(NDEV, axis_names=("graph",))
+    P_s = rw_norm_propagator(ei, w, n, mode="mxu")
+    P_t = rw_norm_propagator(ei[[1, 0]], w, n, mode="mxu")
+    P_A = norm_propagator(ei[[1, 0]], w, n, mode="mxu")
+    P_AT = norm_propagator(ei, w, n, mode="mxu")
+    shards = tuple(shard_propagator(P, mesh)
+                   for P in (P_s, P_t, P_A, P_AT))
+    model = DIGRAC_node_clustering(num_features=int(x.shape[1]),
+                                   hidden=32, nclass=k, fill_value=0.5,
+                                   hop=2)
+
+    def loss_fn(p, aux):
+        Ps_, Pt_, PA_, PAT_, x_ = aux
+        _, _, _, prob = model.apply(p, Ps_, Pt_, x_)
+        return imb(prob, (PA_, PAT_), k, "vol_sum", "sort")
+
+    params = model.init(jax.random.PRNGKey(0), P_s, P_t, x)
+    step, args = _train_step(loss_fn, params, shards + (x,))
+    with mesh:
+        lowered = jax.jit(step).lower(*args)
+        stable = lowered.as_text()
+        compiled = lowered.compile()
+    return compiled.as_text(), stable, e
+
+
 # Driver-captured single-chip step seconds on the real v5e chip
 # (BENCH_r04.json: value = edges/s, E in unit string -> dt = E / value).
 R4_STEP_SECONDS = {
@@ -286,18 +332,19 @@ R4_STEP_SECONDS = {
     "snea": 1049092 / 13219593.9,
     # round-5 fused dual measured on the quiet chip (39.72 ms/step)
     "sgcn": 0.03972,
+    "digrac": 2000000 / 24146936.9,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="*",
-                    default=["magnet_mxu", "snea", "sgcn"])
+                    default=["magnet_mxu", "snea", "sgcn", "digrac"])
     ap.add_argument("--out", default="results/scaling_projection.json")
     a = ap.parse_args()
 
     builders = {"magnet_mxu": hlo_magnet_mxu, "snea": hlo_snea,
-                "sgcn": hlo_sgcn}
+                "sgcn": hlo_sgcn, "digrac": hlo_digrac}
     rows = []
     for name in a.configs:
         hlo, stable, e = builders[name]()
