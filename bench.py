@@ -217,9 +217,7 @@ def bench_sgcn(n, e_pos, e_neg, steps):
 
     rng = np.random.default_rng(0)
     m = e_pos + e_neg
-    edge_s = np.column_stack([
-        rng.integers(0, n, m), rng.integers(0, n, m),
-        np.concatenate([np.ones(e_pos), -np.ones(e_neg)])]).astype(np.int64)
+    edge_s = _signed_edge_array(n, e_pos, e_neg, rng)
     init_emb = rng.standard_normal((n, 64)).astype(np.float32)
 
     def build(mode, fused=False):

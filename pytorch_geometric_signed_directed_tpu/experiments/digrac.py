@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from pytorch_geometric_signed_directed_tpu.data import DSBM, DirectedData
 from pytorch_geometric_signed_directed_tpu.graph import (
-    in_out_degree, rw_norm_propagator)
+    in_out_degree, norm_propagator, rw_norm_propagator)
 from pytorch_geometric_signed_directed_tpu.nn import DIGRAC_node_clustering
 from pytorch_geometric_signed_directed_tpu.train import Trainer
 from pytorch_geometric_signed_directed_tpu.utils import (
@@ -63,7 +63,6 @@ def main(argv=None):
         # self-supervised prior: all ordered pairs are candidate
         # imbalanced flows (the DIGRAC paper's real-data setting)
         F = meta_graph_generation("complete", args.K, 0.0, False)
-        A = data.A.tocsc().astype(np.float32)
     n = data.num_nodes
     if args.features == "hermitian":
         # directional spectral features — the signal DIGRAC's imbalance
@@ -75,7 +74,12 @@ def main(argv=None):
         x = jnp.asarray(x / max(x.max(), 1.0))
     P_s = rw_norm_propagator(data.edge_index, data.edge_weight, n)
     P_t = rw_norm_propagator(data.edge_index[[1, 0]], data.edge_weight, n)
-    A_dense = jnp.asarray(A.toarray().astype(np.float32))
+    # raw adjacency + transpose as sparse propagators for the imbalance
+    # volumes — never densify A (wikitalk is N=2.39M; same pair form the
+    # bench path uses, parity-tested vs dense in
+    # tests/test_models_directed.py::TestDIGRAC)
+    P_A = norm_propagator(data.edge_index[[1, 0]], data.edge_weight, n)
+    P_AT = norm_propagator(data.edge_index, data.edge_weight, n)
 
     imb = Prob_Imbalance_Loss(F)
     model = DIGRAC_node_clustering(num_features=x.shape[1],
@@ -86,7 +90,8 @@ def main(argv=None):
 
     def loss_fn(p):
         _, _, _, prob = model.apply(p, P_s, P_t, x)
-        return imb(prob, A_dense, args.K, args.normalization, args.threshold)
+        return imb(prob, (P_A, P_AT), args.K, args.normalization,
+                   args.threshold)
 
     trainer = Trainer(loss_fn, lr=args.lr)
     state = trainer.fit(trainer.init(params), tuple, args.epochs)

@@ -157,6 +157,8 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
     window = WINDOW if window is None else window
     if chunk is None:
         chunk = CHUNK
+    assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
+    assert window % WINDOW == 0, f"window must be a multiple of {WINDOW}"
     if e >= (1 << 20):
         # fused native layout: one radix argsort by the (group-major,
         # window, local-row) key + one threaded bin pass — bit-identical
@@ -172,8 +174,6 @@ def _build_plan_host(row, num_rows: int, chunk: Optional[int] = None,
         order = stable_argsort(row)
         row_sorted = row[order]
     grp_sorted = None if group is None else np.asarray(group)[order]
-    assert chunk % SUB == 0, f"chunk must be a multiple of {SUB}"
-    assert window % WINDOW == 0, f"window must be a multiple of {WINDOW}"
     num_windows = _round_up(max(num_rows, 1), window) // window
     ngrp = 1 if group is None else 2
     if ngrp == 2:

@@ -288,6 +288,10 @@ def main():
     ap.add_argument("--port", type=int, default=None)
     a = ap.parse_args()
     if a.worker is not None:
+        if a.port is None:
+            ap.error("--worker requires --port (the coordinator port "
+                     "the launcher binds; pass any free port when "
+                     "launching a worker by hand)")
         worker(a.worker, a.nprocs, a.out, a.port)
     elif a.single:
         single(a.out)

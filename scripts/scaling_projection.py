@@ -101,8 +101,7 @@ def _stable_payloads(stablehlo: str):
     partition would move."""
     out = {}
     for m in _STABLE_RE.finditer(stablehlo):
-        kind = m.group(1).replace("_", "-").replace("all-to-all",
-                                                    "all-to-all")
+        kind = m.group(1).replace("_", "-")
         dims, dt = m.group(2), m.group(3)
         n = 1
         for d in dims.split("x"):
@@ -131,12 +130,8 @@ def collective_bytes(hlo: str, stablehlo: str = ""):
                 if d:
                     k *= int(d)
             numel += k
-        skind = {"all-gather": "all-gather", "all-reduce": "all-reduce",
-                 "reduce-scatter": "reduce-scatter",
-                 "collective-permute": "collective-permute",
-                 "all-to-all": "all-to-all"}[kind]
-        if (skind, numel) in payloads and numel:
-            s = numel * payloads[(skind, numel)]
+        if (kind, numel) in payloads and numel:
+            s = numel * payloads[(kind, numel)]
         d = NDEV
         if kind == "all-reduce":
             wire = 2 * s * (d - 1) / d

@@ -202,6 +202,20 @@ class TestDIGRAC:
                 val = imb(prob, jnp.asarray(A), NUM_CLASSES, norm, thr)
                 assert 0 <= float(val) <= 1.0 + 1e-5, (norm, thr)
 
+        # the sparse (P_A, P_AT) propagator-pair form (the bench path and
+        # experiments/digrac.py real-data path — never densifies A) must
+        # match the dense form on every norm/threshold combo
+        P_A = norm_propagator(d.edge_index[[1, 0]], d.edge_weight, n)
+        P_AT = norm_propagator(d.edge_index, d.edge_weight, n)
+        for norm in ("vol_sum", "vol_min", "vol_max", "plain"):
+            for thr in ("sort", "std", "naive"):
+                dense = float(imb(prob, jnp.asarray(A), NUM_CLASSES,
+                                  norm, thr))
+                pair = float(imb(prob, (P_A, P_AT), NUM_CLASSES,
+                                 norm, thr))
+                np.testing.assert_allclose(pair, dense, rtol=1e-5,
+                                           err_msg=f"{norm}/{thr}")
+
 
 class TestDiGCL:
     def test_contrastive_training_loop(self):
