@@ -88,16 +88,20 @@ def main(argv=None):
                                    dropout=args.dropout, hop=args.hop)
     params = model.init(jax.random.PRNGKey(args.seed), P_s, P_t, x)
 
-    def loss_fn(p):
+    def loss_fn(p, P_s, P_t, P_A, P_AT, x):
+        # graph operators ride as batch args, not closure constants — at
+        # wikitalk scale the 10M-edge scatter plans would otherwise bake
+        # into the HLO as constants and bloat the program
         _, _, _, prob = model.apply(p, P_s, P_t, x)
         return imb(prob, (P_A, P_AT), args.K, args.normalization,
                    args.threshold)
 
+    batch = (P_s, P_t, P_A, P_AT, x)
     trainer = Trainer(loss_fn, lr=args.lr)
-    state = trainer.fit(trainer.init(params), tuple, args.epochs)
+    state = trainer.fit(trainer.init(params), lambda: batch, args.epochs)
 
     _, _, pred, prob = model.apply(state.params, P_s, P_t, x)
-    final = float(loss_fn(state.params))
+    final = float(loss_fn(state.params, *batch))
     sizes = np.bincount(np.asarray(pred), minlength=args.K)
     if labels is not None:
         from sklearn.metrics import adjusted_rand_score

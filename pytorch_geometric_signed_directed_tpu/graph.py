@@ -171,6 +171,29 @@ def rw_norm_dual_propagator(edge_index, edge_weight=None,
                            mode=mode)
 
 
+def adj_dual_propagator(edge_index, edge_weight=None,
+                        num_nodes: Optional[int] = None,
+                        mode: str = "mxu"):
+    """A and A^T fused as ONE union-edge-set operator: a pass computes
+    [A X_a | A^T X_b] with one gather + scatter (the adjacency-volume
+    counterpart of rw_norm_dual_propagator — same trick, unnormalized
+    weights).  Accepted by Prob_Imbalance_Loss in place of the
+    (P_A, P_AT) pair; halves the imbalance loss's propagator passes
+    (A·P and A^T·P) at giant scale.  Duplicate edges sum, matching the
+    coalesced single-propagator pair."""
+    from .ops.spmm import dual_propagator
+
+    edge_index, edge_weight, num_nodes = _as_numpy_graph(
+        edge_index, edge_weight, num_nodes)
+    e = len(edge_weight)
+    row = np.concatenate([edge_index[0], edge_index[1]])
+    col = np.concatenate([edge_index[1], edge_index[0]])
+    va = np.concatenate([edge_weight, np.zeros(e)])
+    vb = np.concatenate([np.zeros(e), edge_weight])
+    return dual_propagator(row, col, va, vb, num_nodes=num_nodes,
+                           mode=mode)
+
+
 def mean_propagator(edge_index, num_nodes: Optional[int] = None,
                     flow: str = "source_to_target",
                     mode: str = "auto") -> Propagator:

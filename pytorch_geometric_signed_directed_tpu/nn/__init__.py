@@ -20,7 +20,7 @@ from .directed.digcn import (
 from .directed.dimpa import DIMPA, DIGRAC_node_clustering
 from .directed.digcl import DiGCL, DiGCL_Encoder
 from .general.conv_base import Conv_Base, rw_norm_propagator
-from ..graph import rw_norm_dual_propagator
+from ..graph import adj_dual_propagator, rw_norm_dual_propagator
 from .signed.sgcn import sgcn_dual_propagator
 from .general.msconv import MSConv
 from .general.msgnn import MSGNN_link_prediction, MSGNN_node_classification
@@ -54,6 +54,7 @@ __all__ = [
     "DiGCL_Encoder",
     "Conv_Base",
     "rw_norm_propagator",
+    "adj_dual_propagator",
     "rw_norm_dual_propagator",
     "sgcn_dual_propagator",
     "MSConv",

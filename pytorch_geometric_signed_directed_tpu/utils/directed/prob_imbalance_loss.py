@@ -36,12 +36,21 @@ class Prob_Imbalance_Loss:
         assert threshold in ("sort", "std", "naive"), \
             "Please input the correct threshold method name!"
         eps = 1e-8
-        # A: dense [N, N] array, or a (P_A, P_AT) pair of Propagators for
-        # the sparse tiers (the transpose is needed for the volumes).
+        # A: dense [N, N] array, a (P_A, P_AT) pair of Propagators for
+        # the sparse tiers (the transpose is needed for the volumes), or
+        # a fused union-edge-set DualPropagator
+        # (graph.adj_dual_propagator) computing [A·P | A^T·P] in ONE
+        # gather + scatter — half the passes of the pair at giant scale.
+        from ...ops.spmm import DualPropagator, dual_spmm_stacked
+
         if isinstance(A, tuple):
             P_A, P_AT = A
             AP = P_A(P)
             ATP = P_AT(P)
+        elif isinstance(A, DualPropagator):
+            k = P.shape[1]
+            stacked = dual_spmm_stacked(A, jnp.concatenate([P, P], axis=1))
+            AP, ATP = stacked[:, :k], stacked[:, k:]
         else:
             A = jnp.asarray(A)
             AP = A @ P

@@ -11,6 +11,7 @@ import pytest
 
 from pytorch_geometric_signed_directed_tpu.data import DSBM, DirectedData
 from pytorch_geometric_signed_directed_tpu.graph import (
+    adj_dual_propagator,
     directed_features_in_out,
     gcn_norm_propagator,
     in_out_degree,
@@ -203,18 +204,24 @@ class TestDIGRAC:
                 assert 0 <= float(val) <= 1.0 + 1e-5, (norm, thr)
 
         # the sparse (P_A, P_AT) propagator-pair form (the bench path and
-        # experiments/digrac.py real-data path — never densifies A) must
+        # experiments/digrac.py real-data path — never densifies A) and
+        # the fused union-edge-set DualPropagator form (one gather +
+        # scatter for [A·P | A^T·P], the giant-scale path) must both
         # match the dense form on every norm/threshold combo
         P_A = norm_propagator(d.edge_index[[1, 0]], d.edge_weight, n)
         P_AT = norm_propagator(d.edge_index, d.edge_weight, n)
+        A_dual = adj_dual_propagator(d.edge_index, d.edge_weight, n)
         for norm in ("vol_sum", "vol_min", "vol_max", "plain"):
             for thr in ("sort", "std", "naive"):
                 dense = float(imb(prob, jnp.asarray(A), NUM_CLASSES,
                                   norm, thr))
                 pair = float(imb(prob, (P_A, P_AT), NUM_CLASSES,
                                  norm, thr))
+                dual = float(imb(prob, A_dual, NUM_CLASSES, norm, thr))
                 np.testing.assert_allclose(pair, dense, rtol=1e-5,
                                            err_msg=f"{norm}/{thr}")
+                np.testing.assert_allclose(dual, dense, rtol=1e-5,
+                                           err_msg=f"dual {norm}/{thr}")
 
 
 class TestDiGCL:

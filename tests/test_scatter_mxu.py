@@ -91,6 +91,18 @@ def test_custom_chunk_size():
     np.testing.assert_allclose(out, S @ x, rtol=1e-4, atol=1e-4)
 
 
+def test_invalid_geometry_asserts_on_native_path_too():
+    # the chunk/window validation must fire BEFORE the e >= 2^20 native
+    # early-return, so an invalid geometry fails fast with the intended
+    # message instead of a misaligned plan failing later in the kernel
+    rng = np.random.default_rng(3)
+    row = rng.integers(0, 4096, 1 << 20).astype(np.int64)
+    with pytest.raises(AssertionError, match="chunk"):
+        build_scatter_plan(row, 4096, chunk=7)
+    with pytest.raises(AssertionError, match="window"):
+        build_scatter_plan(row, 4096, window=100, chunk=512)
+
+
 def test_sparse_rows_skip_empty_windows():
     # only 2 of 32 windows have edges: plan must not pad the other 30
     A = build_coo([0, 4000], [1, 2], [1.0, 2.0], 4096)
