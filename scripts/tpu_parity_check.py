@@ -263,6 +263,25 @@ def main():
     check("snea xla-backend flag", x1, np.asarray(r1, np.float64),
           atol=2e-5)
 
+    # --- round 5: fused adjacency dual for the imbalance volumes --------
+    from pytorch_geometric_signed_directed_tpu.graph import (
+        adj_dual_propagator)
+    from pytorch_geometric_signed_directed_tpu.ops.spmm import (
+        dual_spmm_stacked)
+
+    nD = 700
+    eiD = np.vstack([rng.integers(0, nD, 5000), rng.integers(0, nD, 5000)])
+    wD = rng.standard_normal(5000).astype(np.float32)
+    Pd = jnp.asarray(rng.standard_normal((nD, 5)), jnp.float32)
+    D = adj_dual_propagator(eiD, wD, nD)
+    stacked = dual_spmm_stacked(D, jnp.concatenate([Pd, Pd], axis=1))
+    import scipy.sparse as _sp
+    A64 = _sp.coo_matrix((wD.astype(np.float64), (eiD[0], eiD[1])),
+                         shape=(nD, nD)).tocsr()
+    P64 = np.asarray(Pd, np.float64)
+    check("adj dual (A side)", stacked[:, :5], A64 @ P64, atol=2e-5)
+    check("adj dual (A^T side)", stacked[:, 5:], A64.T @ P64, atol=2e-5)
+
     print(f"\n{len(FAILS)} failures" if FAILS else "\nall parity checks ok",
           flush=True)
     sys.exit(1 if FAILS else 0)
